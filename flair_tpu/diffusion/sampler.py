@@ -1,0 +1,274 @@
+"""FLAIR guided sampler, compiled as ONE XLA program (lax.scan over steps).
+
+This is the heart of the framework — the reference's Python-level hot loop
+(guided_diffusion/gaussian_diffusion.py:372-689: ``sample`` → ``p_sample_loop``
+→ per-step ``p_sample``) becomes a single scanned step function so the entire
+100-step restoration of a window runs on-device without host round-trips.
+
+Per step (gaussian_diffusion.py:423-517):
+  1. denoise:      x0 = p_mean_variance(model(x, t))            (:459-461)
+  2. data consist: x0 ← x0 − γ_t · restore_fn(x0), clip         (:465-470)
+  3. GAN prior:    for τ ≤ t ≤ t_start, x0 ← w_t·x0 + (1−w_t)·face_fn(x0, x)
+                                                                 (:471-496)
+  4. pin overlap:  first OVERLAP frames ← prev_recon            (:497-506)
+  5. update:       x_{t−1} = √ᾱ_{t−1}·x0
+                   + 1[t≠0]·√(1−ᾱ_{t−1})·(√(1−ρ)·ε̂ + √ρ·z)      (:507-515)
+
+The ``ws`` / ``gammas`` schedules are precomputed on host in f64
+(gaussian_diffusion.py:632-657) and indexed by t inside the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gaussian import (
+    Diffusion,
+    extract,
+    p_mean_variance,
+    predict_eps_from_xstart,
+)
+
+Array = jax.Array
+ModelFn = Callable[[Array, Array], Array]  # (x, t_spaced) -> raw model output
+RestoreFn = Callable[[Array], Array]       # x0 -> correction (A-operator residual)
+FaceFn = Callable[[Array, Array], Array]   # (x0, x_t) -> face-fused image
+
+
+def compute_ws(
+    num_timesteps: int, w: float, tau: int, start_timestep: int, use_aux: bool
+) -> np.ndarray:
+    """Per-step GAN-fusion weight schedule (gaussian_diffusion.py:632-646).
+
+    Exponential ramp from ``w`` at t=τ to 1 at t=t_start; ones outside.
+    """
+    if not use_aux:
+        return np.ones(num_timesteps, dtype=np.float64)
+    if start_timestep - tau > 0:
+        ws = np.linspace(0, 1, start_timestep - tau + 1)
+        ws = 1.0 * np.exp(-ws * 1)
+        ws = (ws - ws.min()) / (ws.max() - ws.min()) * (1 - w)
+        ws = 1 - ws
+        ws = np.append(ws, np.ones(num_timesteps - start_timestep - 1))
+        ws = np.concatenate([np.ones(tau), ws])
+    else:
+        ws = np.ones(num_timesteps) * w
+    return ws
+
+
+def compute_gammas(
+    betas: np.ndarray,
+    sqrt_alphas_cumprod: np.ndarray,
+    sqrt_one_minus_alphas_cumprod: np.ndarray,
+    zeta: float,
+    noise_level: float,
+) -> np.ndarray:
+    """ζ-scaled SNR-dependent data-consistency step sizes
+    (gaussian_diffusion.py:648-657). ζ = -1 disables the schedule (all ones).
+    """
+    if zeta == -1:
+        return np.ones_like(betas)
+    gammas = zeta * (
+        noise_level**2 / (sqrt_one_minus_alphas_cumprod / sqrt_alphas_cumprod) ** 2
+    )
+    gammas = np.asarray(gammas, dtype=np.float64).copy()
+    gammas[gammas >= 1] = 0.991
+    gammas[gammas <= 1e-1] = 1e-6
+    gammas = 1 - gammas
+    return gammas
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """Static guidance hyper-parameters for one sampling run
+    (scripts/video_sample.py:265-308 CLI surface)."""
+
+    w: float = 0.5
+    tau: int = 5
+    rho: float = 0.35
+    noise_level: float = 12.75
+    zeta: float = -1.0
+    t_start: int = -1          # -1 → start from T-1
+    clip_denoised: bool = True
+    use_aux: bool = True       # GAN face prior enabled
+
+
+def guidance_tables(d: Diffusion, cfg: GuidanceConfig):
+    """Host-side precompute of (indices, ws, gammas, start_timestep)."""
+    T = d.num_timesteps
+    t_hi = T - 1 if cfg.t_start == -1 else cfg.t_start
+    if not (0 <= t_hi < T):
+        raise ValueError("t_start must be in [0, num_timesteps)")
+    indices = np.arange(t_hi, -1, -1, dtype=np.int32)
+    start_timestep = int(indices[0])
+    ws = compute_ws(T, cfg.w, cfg.tau, start_timestep, cfg.use_aux)
+    gammas = compute_gammas(
+        np.asarray(d.betas),
+        np.asarray(d.sqrt_alphas_cumprod, dtype=np.float64),
+        np.asarray(d.sqrt_one_minus_alphas_cumprod, dtype=np.float64),
+        cfg.zeta,
+        cfg.noise_level,
+    )
+    return indices, ws.astype(np.float32), gammas.astype(np.float32), start_timestep
+
+
+def p_sample(
+    d: Diffusion,
+    model_out: Array,
+    x: Array,
+    t: Array,
+    z: Array,
+    *,
+    w_t: Array,
+    gamma_t: Array,
+    rho: float,
+    in_face_window: Array,
+    clip_denoised: bool = True,
+    restore_fn: Optional[RestoreFn] = None,
+    face_fn: Optional[FaceFn] = None,
+    pin_mask: Optional[Array] = None,
+    pin_values: Optional[Array] = None,
+):
+    """One guided reverse step (gaussian_diffusion.py:423-517), given the raw
+    model output and pre-drawn gaussian noise ``z``.
+
+    ``t`` is a scalar int32 (all batch elements share the step, as in the
+    reference loop, gaussian_diffusion.py:664-665). Returns (sample, pred_xstart).
+    """
+    nd = x.ndim
+    tb = jnp.full((x.shape[0],), t, dtype=jnp.int32) if jnp.ndim(t) == 0 else t
+    out = p_mean_variance(d, model_out, x, tb, clip_denoised=clip_denoised)
+    x0 = out["pred_xstart"]
+
+    if restore_fn is not None:
+        x0 = x0 - gamma_t * restore_fn(x0)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1, 1)
+
+    if face_fn is not None:
+        def fuse(x0_):
+            fused = face_fn(x0_, x)
+            if clip_denoised:
+                fused = jnp.clip(fused, -1, 1)
+            return w_t * x0_ + (1 - w_t) * fused
+
+        x0 = jax.lax.cond(in_face_window, fuse, lambda x0_: x0_, x0)
+
+    if pin_mask is not None:
+        x0 = jnp.where(pin_mask, pin_values, x0)
+
+    eps = predict_eps_from_xstart(d, x, tb, x0)
+    nonzero = (tb != 0).astype(x.dtype).reshape((-1,) + (1,) * (nd - 1))
+    co_noise = extract(d.sqrt_one_minus_alphas_cumprod_prev, tb, nd)
+    sample = extract(d.sqrt_alphas_cumprod_prev, tb, nd) * x0 + nonzero * (
+        np.sqrt(1 - rho) * co_noise * eps + np.sqrt(rho) * co_noise * z
+    )
+    return sample, x0
+
+
+def guided_sample_loop(
+    d: Diffusion,
+    model_fn: ModelFn,
+    noise: Array,
+    rng: Array,
+    cfg: GuidanceConfig,
+    *,
+    restore_fn: Optional[RestoreFn] = None,
+    face_fn: Optional[FaceFn] = None,
+    pin_mask: Optional[Array] = None,
+    pin_values: Optional[Array] = None,
+) -> Array:
+    """Full guided DDPM loop as lax.scan (gaussian_diffusion.py:589-689).
+
+    ``model_fn(x, t)`` receives the *spaced* step index t (scalar int32); use
+    :func:`flair_tpu.diffusion.gaussian.map_timesteps` / ``sr3_noise_level``
+    inside it for model conditioning (respace.py:155-167 semantics).
+
+    Returns the final sample (x at t=0).
+    """
+    indices, ws, gammas, start_timestep = guidance_tables(d, cfg)
+    ws_dev = jnp.asarray(ws)
+    gammas_dev = jnp.asarray(gammas)
+    indices_dev = jnp.asarray(indices)
+
+    def step(carry, t):
+        x, rng = carry
+        rng, k = jax.random.split(rng)
+        z = jax.random.normal(k, x.shape, dtype=x.dtype)
+        in_window = jnp.logical_and(t <= start_timestep, t >= cfg.tau)
+        model_out = model_fn(x, t)
+        sample, _ = p_sample(
+            d,
+            model_out,
+            x,
+            t,
+            z,
+            w_t=jnp.take(ws_dev, t),
+            gamma_t=jnp.take(gammas_dev, t),
+            rho=cfg.rho,
+            in_face_window=in_window,
+            clip_denoised=cfg.clip_denoised,
+            restore_fn=restore_fn,
+            face_fn=face_fn,
+            pin_mask=pin_mask,
+            pin_values=pin_values,
+        )
+        return (sample, rng), None
+
+    (x_final, _), _ = jax.lax.scan(step, (noise, rng), indices_dev)
+    return x_final
+
+
+def ddim_sample_loop(
+    d: Diffusion,
+    model_fn: ModelFn,
+    noise: Array,
+    rng: Array,
+    *,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    restore_fn: Optional[RestoreFn] = None,
+    gammas: Optional[Array] = None,
+) -> Array:
+    """Plain DDIM sampler (capability extension; the reference exposes only
+    ``sample_mode="ddpm"`` at gaussian_diffusion.py:397 but the driver metric
+    is stated for DDIM). Supports the same data-consistency hook."""
+    T = d.num_timesteps
+    indices = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    gammas_dev = jnp.ones((T,), jnp.float32) if gammas is None else jnp.asarray(gammas)
+
+    def step(carry, t):
+        x, rng = carry
+        rng, k = jax.random.split(rng)
+        nd = x.ndim
+        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        out = p_mean_variance(d, model_fn(x, t), x, tb, clip_denoised=clip_denoised)
+        x0 = out["pred_xstart"]
+        if restore_fn is not None:
+            x0 = x0 - jnp.take(gammas_dev, t) * restore_fn(x0)
+            if clip_denoised:
+                x0 = jnp.clip(x0, -1, 1)
+        eps = predict_eps_from_xstart(d, x, tb, x0)
+        alpha_bar = extract(d.alphas_cumprod, tb, nd)
+        alpha_bar_prev = extract(d.alphas_cumprod_prev, tb, nd)
+        sigma = (
+            eta
+            * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
+            * jnp.sqrt(1 - alpha_bar / alpha_bar_prev)
+        )
+        z = jax.random.normal(k, x.shape, dtype=x.dtype)
+        mean_pred = (
+            x0 * jnp.sqrt(alpha_bar_prev)
+            + jnp.sqrt(jnp.maximum(1 - alpha_bar_prev - sigma**2, 0.0)) * eps
+        )
+        nonzero = (tb != 0).astype(x.dtype).reshape((-1,) + (1,) * (nd - 1))
+        sample = mean_pred + nonzero * sigma * z
+        return (sample, rng), None
+
+    (x_final, _), _ = jax.lax.scan(step, (noise, rng), indices)
+    return x_final
