@@ -1,0 +1,150 @@
+"""Command-line interface mirroring the reference demo surface.
+
+`python -m flair_tpu.cli <task> --input-dir ... --output-dir ...`
+with the four demo tasks and their default hyper-parameters
+(scripts/video_sample.py:265-556). PNG I/O via cv2 on host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def load_frames(input_dir: str) -> np.ndarray:
+    """Natural-sorted PNG frames → (T, h, w, 3) RGB in [0, 1]
+    (video_sample.py:337-345)."""
+    import cv2
+    import re
+
+    def natkey(p):
+        return [int(s) if s.isdigit() else s for s in re.split(r"(\d+)", p.name)]
+
+    paths = sorted(Path(input_dir).glob("*.png"), key=natkey)
+    if not paths:
+        raise FileNotFoundError(f"no PNG frames in {input_dir}")
+    frames = []
+    for p in paths:
+        img = cv2.imread(str(p), cv2.IMREAD_COLOR)
+        frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+def save_frames(frames01: np.ndarray, output_dir: str) -> None:
+    """(T, H, W, 3) [0,1] → PNGs (video_sample.py:487-492)."""
+    import cv2
+
+    os.makedirs(output_dir, exist_ok=True)
+    for i, f in enumerate(frames01):
+        img = (np.clip(f, 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(
+            str(Path(output_dir) / f"{i:04d}.png"),
+            cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+        )
+
+
+def build_model(task: str, checkpoint: str | None, *, dtype=None):
+    """Construct the task's denoiser and parameters.
+
+    With ``checkpoint``: load a converted (orbax/npz) or torch state dict via
+    flair_tpu.utils.checkpoint. Without: random init (shape-correct end-to-end
+    runs; quality requires released weights, README of the reference)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.registry import get_model
+    from .pipeline.video import TASK_CONFIGS
+
+    cfg = TASK_CONFIGS[task]
+    dtype = dtype or jnp.bfloat16
+    if cfg.model_name == "bicubic_unet":
+        model = get_model("bicubic_unet", dtype=dtype)
+        b, t = 1, 2
+        x = jnp.zeros((b, t, 512, 512, 3))
+        lvl = jnp.ones((b, t))
+        lr = jnp.zeros((b, t, 512, 512, 3))
+        init_args = (x, lvl, lr)
+    else:
+        model = get_model("blur_unet", dtype=dtype)
+        b, t = 1, 2
+        x = jnp.zeros((b, t, 512, 512, 3))
+        ts = jnp.zeros((b, t), jnp.int32)
+        lr = jnp.zeros((b, t, 512, 512, 3))
+        init_args = (x, ts, lr)
+
+    if checkpoint:
+        from .utils.checkpoint import load_params
+
+        params = load_params(checkpoint, model, init_args)
+    else:
+        params = model.init(jax.random.PRNGKey(0), *init_args)
+    return model, params
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="flair_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="task", required=True)
+    for task in ("x8_bicubic", "x16_bicubic", "gaussian", "jpeg"):
+        sp = sub.add_parser(task)
+        sp.add_argument("--input-dir", default=f"/root/reference/data/{task}")
+        sp.add_argument("--output-dir", default=f"./results/{task}")
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--steps", default=None)
+        sp.add_argument("--w", type=float, default=None)
+        sp.add_argument("--rho", type=float, default=None)
+        sp.add_argument("--noise-level", type=float, default=None)
+        sp.add_argument("--zeta", type=float, default=None)
+        sp.add_argument("--tau", type=int, default=None)
+        sp.add_argument("--jpeg-qf", type=int, default=None)
+        sp.add_argument("--frames", type=int, default=None,
+                        help="restore only the first N frames")
+        sp.add_argument("--no-face", action="store_true",
+                        help="disable the CodeFormer face prior")
+        sp.add_argument("--window", type=int, default=10)
+        sp.add_argument("--overlap", type=int, default=3)
+
+    args = p.parse_args(argv)
+
+    from .diffusion import make_task_diffusion
+    from .pipeline.video import TASK_CONFIGS, restore_video
+    from .pipeline.wrappers import wrap_bicubic_model, wrap_blur_model
+
+    cfg = TASK_CONFIGS[args.task]
+    overrides = {
+        k: v
+        for k, v in dict(
+            steps=args.steps, w=args.w, rho=args.rho,
+            noise_level=args.noise_level, zeta=args.zeta, tau=args.tau,
+            jpeg_qf=args.jpeg_qf,
+        ).items()
+        if v is not None
+    }
+    cfg = dataclasses.replace(cfg, **overrides)
+
+    frames = load_frames(args.input_dir)
+    if args.frames:
+        frames = frames[: args.frames]
+
+    d = make_task_diffusion(cfg.task, cfg.steps)
+    model, params = build_model(args.task, args.checkpoint)
+    wrap = (
+        wrap_bicubic_model if cfg.model_name == "bicubic_unet" else wrap_blur_model
+    )
+    model_apply = wrap(d, model, params)
+
+    out = restore_video(
+        frames, cfg, model_apply, diffusion=d,
+        win=args.window, overlap=args.overlap,
+    )
+    save_frames(out, args.output_dir)
+    print(f"wrote {out.shape[0]} frames to {args.output_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,254 @@
+"""BicubicUNet — SR3/WaveGrad-style video UNet (re-design of sr3.py:317-611).
+
+Used for the x8/x16 bicubic tasks (scripts/video_sample.py:73-115).
+Continuous noise-level conditioning; per-level stacks of
+ResnetBlock → [3-D temporal ResBlock] → [SelfAttention] → [TemporalAttention]
+→ [BasicVSR++], with every temporal module gated by a TemporalWrapper2
+sigmoid mix (sr3.py:203-226) driven by the noise embedding.
+
+TPU-first deltas from the reference:
+- optical flows for BasicVSR++ are computed ONCE per resolution in the trunk
+  and shared across all VSR++ blocks at that resolution (the reference
+  recomputes identical flows inside every block, unet.py:531-595);
+- (B, T, H, W, C) channels-last throughout; LazyReshaper machinery gone;
+- bf16 trunk / f32 norms via dtype policy instead of weight mutation
+  (sr3.py:528-558 convert_to_fp16).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.embed import sr3_noise_embedding
+from ..ops.resize import resize_bilinear
+from .blocks import ResBlock, SR3ResnetBlock, SR3SelfAttention
+from .common import Conv2d, Dense, GroupNorm32, silu
+from .registry import register_model
+from .spynet import SPyNet
+from .temporal import TemporalAttention, TemporalWrapper2
+from .vsrpp import BasicVSRPP
+
+Array = jax.Array
+
+
+class SR3LevelBlock(nn.Module):
+    """ResnetBlocWithAttn (sr3.py:229-314): resnet + optional temporal stack."""
+
+    out_channels: int
+    norm_groups: int
+    dropout: float
+    conv_3d: bool
+    spatial_attn: bool
+    temporal_attn: bool
+    vsrpp: bool
+    num_frames: int
+    head_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        emb: Array,
+        flows=None,
+        vsrpp_weights=None,
+        enable_cross_frames: bool = True,
+        deterministic: bool = True,
+    ) -> Array:
+        c = self.out_channels
+        x = SR3ResnetBlock(
+            c, self.norm_groups, self.dropout, dtype=self.dtype, name="res_block"
+        )(x, emb, deterministic)
+        if self.conv_3d and enable_cross_frames:
+            out = ResBlock(
+                c, dims=3, kernel_size=(3, 1, 1), dtype=self.dtype, name="conv_3d"
+            )(x, emb, deterministic)
+            x = TemporalWrapper2(c, dtype=self.dtype, name="conv_3d_gate")(x, out, emb)
+        if self.spatial_attn:
+            x = SR3SelfAttention(
+                c, norm_groups=self.norm_groups, dtype=self.dtype, name="attn"
+            )(x)
+        if self.temporal_attn and enable_cross_frames:
+            out = TemporalAttention(
+                c,
+                num_frames=self.num_frames,
+                num_heads=8,
+                num_head_channels=self.head_dim,
+                dtype=self.dtype,
+                name="temp_attn",
+            )(x)
+            x = TemporalWrapper2(c, dtype=self.dtype, name="temp_attn_gate")(
+                x, out, emb
+            )
+        if self.vsrpp and enable_cross_frames:
+            fwd, bwd = flows
+            out = BasicVSRPP(
+                c, max_residue_magnitude=5.0, dtype=self.dtype, name="vsrpp"
+            )(x, fwd, bwd, vsrpp_weights)
+            x = TemporalWrapper2(c, dtype=self.dtype, name="vsrpp_gate")(x, out, emb)
+        return x
+
+
+@register_model("bicubic_unet")
+class BicubicUNet(nn.Module):
+    """SR3-style video UNet (sr3.py:317-525). Demo config at
+    scripts/video_sample.py:77-115."""
+
+    in_channel: int = 6
+    out_channel: int = 3
+    inner_channel: int = 64
+    norm_groups: int = 16
+    channel_mults: Sequence[int] = (1, 2, 4, 8, 16)
+    attn_res: Sequence[int] = (64, 32)
+    vsrpp_res: Sequence[int] = (512, 256)
+    spatial_attn: bool = False
+    temporal_attn: bool = True
+    res_blocks: int = 1
+    dropout: float = 0.0
+    image_size: int = 512
+    cross_frame_module: bool = True
+    num_frames: int = 7
+    head_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        noise_level: Array,
+        low_res_input: Optional[Array] = None,
+        rnn_input: Optional[Array] = None,
+        enable_cross_frames: bool = True,
+        vsrpp_weights: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        """x: (B, T, H, W, 3); noise_level: (B, T) continuous level in (0,1];
+        low_res_input: (B, T, H, W, 3) conditioning (pre-upscaled);
+        rnn_input: flow source (defaults to low_res_input)."""
+        b, t = x.shape[0], x.shape[1]
+        if rnn_input is None:
+            rnn_input = low_res_input
+        if low_res_input is not None:
+            x = jnp.concatenate([low_res_input, x], axis=-1)
+
+        # noise-level MLP (sr3.py:342-349)
+        lvl = noise_level.reshape(b * t)
+        emb = sr3_noise_embedding(lvl, self.inner_channel)
+        emb = Dense(self.inner_channel * 4, name="mlp_in")(emb)
+        emb = silu(emb)
+        emb = Dense(self.inner_channel, name="mlp_out")(emb)
+        emb = emb.reshape(b, t, self.inner_channel)
+
+        # flows, once per VSR++ resolution (shared SPyNet; sr3.py:340-341)
+        cross = self.cross_frame_module and enable_cross_frames
+        flows = {}
+        if cross and len(self.vsrpp_res) > 0 and t > 1:
+            spynet = SPyNet(name="spynet")
+            lq01 = jnp.clip((rnn_input.astype(jnp.float32) + 1) / 2, 0, 1)
+            for res in self.vsrpp_res:
+                if lq01.shape[2] != res:
+                    lq = resize_bilinear(lq01, (res, res))
+                else:
+                    lq = lq01
+                l1 = lq[:, :-1].reshape(b * (t - 1), res, res, 3)
+                l2 = lq[:, 1:].reshape(b * (t - 1), res, res, 3)
+                fwd = spynet(l2, l1).reshape(b, t - 1, res, res, 2)
+                bwd = spynet(l1, l2).reshape(b, t - 1, res, res, 2)
+                flows[res] = (fwd, bwd)
+
+        def level_flags(res):
+            return dict(
+                spatial=(res in self.attn_res) and self.spatial_attn,
+                temporal=(res in self.attn_res) and self.temporal_attn and cross,
+                vsrpp=(res in self.vsrpp_res) and cross,
+            )
+
+        h = x.astype(self.dtype)
+        h = Conv2d(self.inner_channel, 3, dtype=self.dtype, name="conv_in")(h)
+        feats = [h]
+        now_res = self.image_size
+        num_mults = len(self.channel_mults)
+        li = 0
+        for ind, mult in enumerate(self.channel_mults):
+            flags = level_flags(now_res)
+            c = self.inner_channel * mult
+            for _ in range(self.res_blocks):
+                h = SR3LevelBlock(
+                    c,
+                    self.norm_groups,
+                    self.dropout,
+                    conv_3d=cross,
+                    spatial_attn=flags["spatial"],
+                    temporal_attn=flags["temporal"],
+                    vsrpp=flags["vsrpp"],
+                    num_frames=self.num_frames,
+                    head_dim=self.head_dim,
+                    dtype=self.dtype,
+                    name=f"down_{li}",
+                )(
+                    h, emb, flows.get(now_res), vsrpp_weights,
+                    enable_cross_frames, deterministic,
+                )
+                li += 1
+                feats.append(h)
+            if ind != num_mults - 1:
+                h = Conv2d(c, 3, stride=2, padding=1, dtype=self.dtype,
+                           name=f"downsample_{ind}")(h)
+                feats.append(h)
+                now_res //= 2
+
+        for mi in range(2):
+            h = SR3LevelBlock(
+                h.shape[-1],
+                self.norm_groups,
+                self.dropout,
+                conv_3d=cross,
+                spatial_attn=self.spatial_attn,
+                temporal_attn=self.temporal_attn and cross,
+                vsrpp=False,
+                num_frames=self.num_frames,
+                head_dim=self.head_dim,
+                dtype=self.dtype,
+                name=f"mid_{mi}",
+            )(h, emb, None, vsrpp_weights, enable_cross_frames, deterministic)
+
+        li = 0
+        for rev, ind in enumerate(reversed(range(num_mults))):
+            flags = level_flags(now_res)
+            c = self.inner_channel * self.channel_mults[ind]
+            for _ in range(self.res_blocks + 1):
+                h = jnp.concatenate([h, feats.pop()], axis=-1)
+                h = SR3LevelBlock(
+                    c,
+                    self.norm_groups,
+                    self.dropout,
+                    conv_3d=cross,
+                    spatial_attn=flags["spatial"],
+                    temporal_attn=flags["temporal"],
+                    vsrpp=flags["vsrpp"],
+                    num_frames=self.num_frames,
+                    head_dim=self.head_dim,
+                    dtype=self.dtype,
+                    name=f"up_{li}",
+                )(
+                    h, emb, flows.get(now_res), vsrpp_weights,
+                    enable_cross_frames, deterministic,
+                )
+                li += 1
+            if ind >= 1:
+                # nearest 2x + conv (sr3.py:90-97)
+                bh, t_, hh, ww, cc = h.shape
+                h2 = jnp.repeat(jnp.repeat(h, 2, axis=2), 2, axis=3)
+                h = Conv2d(cc, 3, dtype=self.dtype, name=f"upsample_{ind}")(h2)
+                now_res *= 2
+
+        # final Block stays f32 (not converted by sr3.py:528-541)
+        h = h.astype(jnp.float32)
+        h = GroupNorm32(self.norm_groups, name="final_norm")(h)
+        h = silu(h)
+        eps = Conv2d(self.out_channel, 3, dtype=jnp.float32, name="final_conv")(h)
+        return eps

@@ -1,0 +1,112 @@
+"""Temporal attention module and the temporal gating wrappers.
+
+- ``TemporalAttention`` (unet.py:664-758 / unet_new.py:432-517): per-pixel
+  sliding-window attention of each frame against its ≤6 neighbours with
+  relative-position sinusoidal embeddings. The reference materialises a 7x
+  ``unfold`` and runs flash-attn with q_len=1; here the window never exists
+  in memory — projections are per-frame and the position terms are folded in
+  by linearity (see ops.attention.temporal_window_attention).
+- ``TemporalWrapper2`` (sr3.py:203-226): sigmoid mix of wrapped output and
+  input, driven by a zero-init linear of the time embedding.
+- ``TemporalWrapper`` (unet_new.py:50-59): pure enable/disable switch —
+  expressed here as plain call-site gating.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import temporal_window_attention
+from ..ops.embed import timestep_embedding
+from .common import Dense, GroupNorm32, ShiftWindowGroupNorm, silu
+
+Array = jax.Array
+
+
+class TemporalAttention(nn.Module):
+    """Windowed centre-frame temporal attention (unet.py:664-758).
+
+    Input (B, T, H, W, C); returns input + zero-init-projected attention.
+    """
+
+    channels: int
+    num_frames: int = 5
+    num_heads: int = 1
+    num_head_channels: int = -1
+    norm_type: str = "group_norm"  # 'group_norm' | 'shift_window_norm' | 'none'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = self.channels
+        heads = (
+            self.num_heads
+            if self.num_head_channels == -1
+            else c // self.num_head_channels
+        )
+        f = self.num_frames
+        assert f % 2 == 1, "num_frames must be odd"
+
+        if self.norm_type == "group_norm":
+            h = GroupNorm32(32, name="norm")(x)
+        elif self.norm_type == "shift_window_norm":
+            h = ShiftWindowGroupNorm(f, 32, name="norm")(x)
+        else:
+            h = x
+
+        # relative-position embeddings (host constants):
+        # timestep_embedding(arange(F) - F//2, C); centre is the query term.
+        rel = np.arange(f) - f // 2
+        emb = np.asarray(
+            timestep_embedding(jnp.asarray(rel, jnp.float32), c)
+        )
+        t_mid = jnp.asarray(emb[f // 2], dtype=self.dtype)
+        t_rest = jnp.asarray(
+            np.delete(emb, f // 2, axis=0), dtype=self.dtype
+        )
+
+        q_lin = Dense(c, dtype=self.dtype, name="q_linear")
+        k_lin = Dense(c, dtype=self.dtype, name="k_linear")
+        v_lin = Dense(c, dtype=self.dtype, name="v_linear")
+
+        q = q_lin(h + t_mid)  # = q_lin(h) + Wq·t_mid, by linearity
+        k = k_lin(h)
+        v = v_lin(h)
+        # per-window-position key terms: k_lin(x + t_rest_j) = k_lin(x) + Wk·t_rest_j
+        # (bias already inside k). Compute Wk·t_rest via the bias-corrected
+        # difference so we reuse the same Dense params:
+        zero = jnp.zeros((1, c), self.dtype)
+        k_pos = k_lin(t_rest) - k_lin(zero)  # (F-1, C), bias cancelled
+
+        out = temporal_window_attention(
+            q, k, v, k_pos, num_frames=f, num_heads=heads
+        )
+        out = nn.Conv(
+            c, (1, 1),
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=jnp.float32, name="proj",
+        )(out)
+        return x + out
+
+
+class TemporalWrapper2(nn.Module):
+    """Per-(frame, channel) sigmoid mix gate driven by the time embedding
+    (sr3.py:203-226). Wraps ``fn``; ``emb`` is (B·T, emb_dim)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, out: Array, emb: Array) -> Array:
+        b, t = x.shape[0], x.shape[1]
+        w = Dense(self.features, zero_init=True, dtype=self.dtype, name="gate")(
+            silu(emb)
+        )
+        w = w.reshape(b, t, 1, 1, self.features)
+        s = jax.nn.sigmoid(w.astype(jnp.float32)).astype(x.dtype)
+        return (1 - s) * x + s * out

@@ -1,0 +1,284 @@
+"""BasicVSR++ propagation as lax.scan + gather-based DCNv2 (TPU-native).
+
+Re-design of the reference temporal propagation stack
+(unet.py:313-661 / unet_new.py:608-898, both built on mmcv/mmedit CUDA ops):
+
+- ``ResidualBlocksWithInputConv`` — conv + LReLU + N ResidualBlockNoBN
+  (mmedit building block, imported at unet.py:34-38).
+- ``SecondOrderDeformableAlignment`` — flow-guided modulated deformable conv
+  whose offsets are tanh-capped residues around the optical flow
+  (unet.py:598-661); deformable conv itself is ops.deform (XLA gathers +
+  MXU matmuls) instead of torchvision/mmcv CUDA kernels.
+- ``BasicVSRPP`` — backward_1 + forward_1 recurrent branches
+  (unet.py:313-595). The Python frame loop becomes ``nn.scan`` so the whole
+  bidirectional propagation is two fused XLA while-loops; flows are taken
+  precomputed (compute once per resolution and share across blocks — the
+  reference recomputes identical flows per block).
+
+Convention: hidden features (B, T, H, W, C); flows (B, T-1, H, W, 2) with
+flow[..., 0] = dx.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.deform import modulated_deform_conv2d
+from ..ops.warp import flow_warp
+from .common import leaky_relu
+from .registry import register_model
+
+Array = jax.Array
+
+
+class ResidualBlockNoBN(nn.Module):
+    """mmedit ResidualBlockNoBN: x + conv(relu(conv(x)))."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Conv(
+            self.features, (3, 3), padding="SAME",
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
+        )(x)
+        h = jax.nn.relu(h)
+        h = nn.Conv(
+            self.features, (3, 3), padding="SAME",
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv2",
+        )(h)
+        return x + h
+
+
+class ResidualBlocksWithInputConv(nn.Module):
+    """Input conv + LeakyReLU(0.1) + num_blocks residual blocks (mmedit)."""
+
+    features: int
+    num_blocks: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(
+            self.features, (3, 3), padding="SAME",
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv_in",
+        )(x)
+        x = leaky_relu(x, 0.1)
+        for i in range(self.num_blocks):
+            x = ResidualBlockNoBN(self.features, self.dtype, name=f"block{i}")(x)
+        return x
+
+
+class SecondOrderDeformableAlignment(nn.Module):
+    """Flow-guided second-order deformable alignment (unet.py:598-661).
+
+    ``__call__(x, extra_feat, flow_1, flow_2)`` where x = cat(prop_n1,
+    prop_n2) (2C channels), extra_feat = cat(cond_n1, feat_current, cond_n2)
+    (3C). Offsets = max_residue_magnitude·tanh(conv_stack) + flow (flipped to
+    (dy, dx)); mask = sigmoid. deform_groups split half/half over the two
+    propagated feature sets.
+    """
+
+    features: int  # C (output channels)
+    deform_groups: int = 16
+    max_residue_magnitude: float = 10.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: Array, extra_feat: Array, flow_1: Array, flow_2: Array
+    ) -> Array:
+        g = self.deform_groups
+        c = self.features
+        feat = jnp.concatenate([extra_feat, flow_1, flow_2], axis=-1)
+        h = feat
+        for i in range(3):
+            h = nn.Conv(
+                c, (3, 3), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"offset_conv{i}",
+            )(h)
+            h = leaky_relu(h, 0.1)
+        out = nn.Conv(
+            27 * g // 2 * 2, (3, 3), padding="SAME",
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=jnp.float32, name="offset_out",
+        )(h)
+        b, hh, ww, _ = out.shape
+        o1, o2, mask = jnp.split(out, 3, axis=-1)  # each 9g channels
+
+        def to_offsets(o: Array, flow: Array) -> Array:
+            # o: (B,H,W, 2*9*(g/2)) → (B,H,W, g/2, 9, 2) in (dy, dx)
+            res = self.max_residue_magnitude * jnp.tanh(
+                o.astype(jnp.float32)
+            ).reshape(b, hh, ww, g // 2, 9, 2)
+            base = jnp.stack(
+                [flow[..., 1], flow[..., 0]], axis=-1
+            ).astype(jnp.float32)[:, :, :, None, None, :]
+            return res + base
+
+        off = jnp.concatenate(
+            [to_offsets(o1, flow_1), to_offsets(o2, flow_2)], axis=3
+        )  # (B,H,W,g,9,2)
+        mask = jax.nn.sigmoid(mask.astype(jnp.float32)).reshape(b, hh, ww, g, 9)
+
+        weight = self.param(
+            "weight",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], c),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = modulated_deform_conv2d(
+            x.astype(jnp.float32), off, mask, weight, bias, padding=1
+        )
+        return y.astype(x.dtype)
+
+
+class _PropStep(nn.Module):
+    """One step of a propagation branch, scanned over frames."""
+
+    features: int
+    max_residue_magnitude: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        prop_n1, prop_n2 = carry
+        feat_current, extra, flow_n1, flow_n2_in, weight_t, idx = xs
+        c = self.features
+
+        cond_n1 = flow_warp(prop_n1, flow_n1)
+        use_n2 = (idx > 1).astype(flow_n1.dtype)
+        flow_n2 = use_n2[..., None, None, None] * (
+            flow_n1 + flow_warp(flow_n2_in, flow_n1)
+        )
+        cond_n2 = flow_warp(prop_n2, flow_n2)
+        cond = jnp.concatenate([cond_n1, feat_current, cond_n2], axis=-1)
+        packed = jnp.concatenate([prop_n1, prop_n2], axis=-1)
+        aligned = SecondOrderDeformableAlignment(
+            c,
+            max_residue_magnitude=self.max_residue_magnitude,
+            dtype=self.dtype,
+            name="deform_align",
+        )(packed, cond, flow_n1, flow_n2)
+        not_first = (idx > 0).astype(aligned.dtype)[..., None, None, None]
+        prop = aligned * not_first
+
+        feat_in = jnp.concatenate([feat_current, extra, prop], axis=-1)
+        prop = prop + ResidualBlocksWithInputConv(
+            c, 1, dtype=self.dtype, name="backbone"
+        )(feat_in)
+        prop = prop * weight_t
+        return (prop, prop_n1), prop
+
+
+class BasicVSRPP(nn.Module):
+    """Bidirectional second-order propagation (unet.py:313-595).
+
+    ``__call__(hidden, flows_forward, flows_backward, weight)``:
+    - hidden: (B, T, H, W, C) features to refine.
+    - flows_*: (B, T-1, H, W, 2) from ops/spynet (precomputed).
+    - weight: per-frame gating (B, T, 1, 1, 1) or spatial map
+      (B, T, H, W, 1); defaults to 1 (face-region weights,
+      scripts/video_sample.py:427-444).
+    Returns hidden + zero-init-conv(reconstruction(cat(spatial, bwd, fwd))).
+    """
+
+    features: int
+    max_residue_magnitude: float = 10.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: Array,
+        flows_forward: Array,
+        flows_backward: Array,
+        weight: Optional[Array] = None,
+    ) -> Array:
+        b, t, h, w, c = hidden.shape
+        if weight is None:
+            weight = jnp.ones((b, t, 1, 1, 1), hidden.dtype)
+        elif weight.ndim == 5 and weight.shape[2] not in (1, h):
+            # nearest-resize spatial weight maps to feature resolution
+            from ..ops.resize import resize_matrix
+
+            ry = jnp.asarray(resize_matrix(h, weight.shape[2], "nearest"), weight.dtype)
+            rx = jnp.asarray(resize_matrix(w, weight.shape[3], "nearest"), weight.dtype)
+            weight = jnp.einsum("uh,bthwc->btuwc", ry, weight)
+            weight = jnp.einsum("vw,bthwc->bthvc", rx, weight)
+
+        zeros_flow = jnp.zeros((b, 1, h, w, 2), hidden.dtype)
+        zeros2 = jnp.zeros((b, 2, h, w, 2), hidden.dtype)
+        idxs = jnp.arange(t)
+
+        scan = nn.scan(
+            _PropStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+
+        # --- backward branch: frames T-1 → 0 --------------------------------
+        # flow_n1 at position i (frame j=T-1-i) is flows_backward[:, j];
+        # flow_n2 is flows_backward[:, j+1] (zero-padded past the end).
+        fb = jnp.moveaxis(flows_backward, 1, 0)  # (T-1, B, H, W, 2)
+        # step i processes frame j = T-1-i; flow_n1 = flows_backward[j]
+        # (zeros at i=0), flow_n2 = flows_backward[j+1] (zeros at i<2)
+        fb_n1 = jnp.concatenate(
+            [fb, jnp.moveaxis(zeros_flow, 1, 0)], axis=0
+        )[::-1]
+        fb_n2 = jnp.concatenate(
+            [fb[1:], jnp.moveaxis(zeros2, 1, 0)], axis=0
+        )[::-1]
+        feats_rev = jnp.moveaxis(hidden, 1, 0)[::-1]
+        w_rev = jnp.moveaxis(weight, 1, 0)[::-1]
+        extra_empty = jnp.zeros((t, b, h, w, 0), hidden.dtype)
+        init = (
+            jnp.zeros((b, h, w, c), hidden.dtype),
+            jnp.zeros((b, h, w, c), hidden.dtype),
+        )
+        _, bwd = scan(
+            self.features,
+            self.max_residue_magnitude,
+            self.dtype,
+            name="backward_1",
+        )(init, (feats_rev, extra_empty, fb_n1, fb_n2, w_rev, idxs))
+        bwd = jnp.moveaxis(bwd[::-1], 0, 1)  # (B, T, H, W, C)
+
+        # --- forward branch: frames 0 → T-1 ---------------------------------
+        ff = jnp.moveaxis(flows_forward, 1, 0)
+        ff_n1 = jnp.concatenate([jnp.moveaxis(zeros_flow, 1, 0), ff], axis=0)
+        ff_n2 = jnp.concatenate([jnp.moveaxis(zeros2, 1, 0), ff[:-1]], axis=0)
+        feats_fwd = jnp.moveaxis(hidden, 1, 0)
+        extra_fwd = jnp.moveaxis(bwd, 1, 0)
+        w_fwd = jnp.moveaxis(weight, 1, 0)
+        _, fwd = scan(
+            self.features,
+            self.max_residue_magnitude,
+            self.dtype,
+            name="forward_1",
+        )(init, (feats_fwd, extra_fwd, ff_n1, ff_n2, w_fwd, idxs))
+        fwd = jnp.moveaxis(fwd, 0, 1)
+
+        # --- reconstruction (unet.py:494-530) -------------------------------
+        hr = jnp.concatenate([hidden, bwd, fwd], axis=-1)
+        hr = ResidualBlocksWithInputConv(
+            c, 1, dtype=self.dtype, name="reconstruction"
+        )(hr.reshape(b * t, h, w, 3 * c))
+        hr = nn.Conv(
+            c, (1, 1),
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv_last",
+        )(hr)
+        return hidden + hr.reshape(b, t, h, w, c)
+
+
+register_model("basicvsrpp")(BasicVSRPP)

@@ -1,0 +1,215 @@
+"""Grid sampling, optical-flow warping and affine warps as XLA gathers.
+
+Replaces the CUDA ``grid_sample`` behind mmedit's ``flow_warp``
+(used at unet.py:706-719 inside BasicVSRPP) and the host-side
+``cv2.warpAffine`` face crop/paste (face_restoration_helper.py:203,232-254)
+with batched bilinear/bicubic gathers that run on device, so face fusion can
+live *inside* the jitted sampler step (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _gather_2d(img: Array, iy: Array, ix: Array) -> Array:
+    """img (H, W, C), iy/ix int32 (...,) → (..., C) with clamped indices."""
+    h, w = img.shape[0], img.shape[1]
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jnp.clip(ix, 0, w - 1)
+    return img[iy, ix]
+
+
+def _sample_bilinear(img: Array, y: Array, x: Array, zero_pad: bool) -> Array:
+    """Bilinear sample of img (H, W, C) at float coords y, x (...,).
+
+    ``zero_pad`` True → out-of-bounds reads contribute 0 (grid_sample
+    padding_mode='zeros'); False → edge clamp (padding_mode='border').
+    """
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    fy = (y - y0)[..., None]
+    fx = (x - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(iy, ix, wgt):
+        v = _gather_2d(img, iy, ix)
+        if zero_pad:
+            valid = (
+                (iy >= 0) & (iy <= h - 1) & (ix >= 0) & (ix <= w - 1)
+            )[..., None]
+            v = jnp.where(valid, v, 0.0)
+        return v * wgt
+
+    out = tap(y0i, x0i, (1 - fy) * (1 - fx))
+    out += tap(y0i, x0i + 1, (1 - fy) * fx)
+    out += tap(y0i + 1, x0i, fy * (1 - fx))
+    out += tap(y0i + 1, x0i + 1, fy * fx)
+    return out
+
+
+def _keys_cubic_weights(f: Array, a: float = -0.75):
+    """4-tap Keys cubic weights for fractional offset f in [0,1)."""
+    f2 = f * f
+    f3 = f2 * f
+    w0 = a * (f3 - 2 * f2 + f)
+    w1 = (a + 2) * f3 - (a + 3) * f2 + 1
+    w2 = -(a + 2) * f3 + (2 * a + 3) * f2 - a * f
+    w3 = a * (f2 - f3)
+    return w0, w1, w2, w3
+
+
+def _sample_bicubic(img: Array, y: Array, x: Array, zero_pad: bool) -> Array:
+    """Bicubic (a=-0.75, cv2 INTER_CUBIC) sample of img (H, W, C)."""
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy = _keys_cubic_weights(y - y0)
+    wx = _keys_cubic_weights(x - x0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    out = None
+    for dy in range(-1, 3):
+        row = None
+        for dx in range(-1, 3):
+            v = _gather_2d(img, y0i + dy, x0i + dx)
+            if zero_pad:
+                valid = (
+                    (y0i + dy >= 0)
+                    & (y0i + dy <= h - 1)
+                    & (x0i + dx >= 0)
+                    & (x0i + dx <= w - 1)
+                )[..., None]
+                v = jnp.where(valid, v, 0.0)
+            v = v * wx[dx + 1][..., None]
+            row = v if row is None else row + v
+        row = row * wy[dy + 1][..., None]
+        out = row if out is None else out + row
+    return out
+
+
+def grid_sample(
+    img: Array,
+    grid: Array,
+    *,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+) -> Array:
+    """torch.nn.functional.grid_sample parity, NHWC.
+
+    ``img`` (B, H, W, C); ``grid`` (B, Ho, Wo, 2) with normalized coords in
+    [-1, 1], grid[..., 0] = x, grid[..., 1] = y.
+    """
+    h, w = img.shape[1], img.shape[2]
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1) * (w - 1) / 2
+        y = (gy + 1) * (h - 1) / 2
+    else:
+        x = ((gx + 1) * w - 1) / 2
+        y = ((gy + 1) * h - 1) / 2
+    zero_pad = padding_mode == "zeros"
+    sampler = {
+        "bilinear": _sample_bilinear,
+        "nearest": lambda im, yy, xx, zp: _gather_2d(
+            im, jnp.round(yy).astype(jnp.int32), jnp.round(xx).astype(jnp.int32)
+        ),
+        "bicubic": _sample_bicubic,
+    }[mode]
+    return jax.vmap(lambda im, yy, xx: sampler(im, yy, xx, zero_pad))(img, y, x)
+
+
+def flow_warp(
+    x: Array,
+    flow: Array,
+    *,
+    interpolation: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+) -> Array:
+    """Warp NHWC ``x`` (B, H, W, C) by pixel-displacement ``flow``
+    (B, H, W, 2), flow[..., 0] = dx. mmedit ``flow_warp`` parity
+    (used by BasicVSRPP at unet.py:449-492, unet_new.py:706-719)."""
+    b, h, w, _ = x.shape
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=flow.dtype),
+        jnp.arange(w, dtype=flow.dtype),
+        indexing="ij",
+    )
+    vx = gx[None] + flow[..., 0]
+    vy = gy[None] + flow[..., 1]
+    # normalize to [-1, 1] (align_corners=True convention, as mmedit does)
+    nx = 2.0 * vx / jnp.maximum(w - 1, 1) - 1.0
+    ny = 2.0 * vy / jnp.maximum(h - 1, 1) - 1.0
+    grid = jnp.stack([nx, ny], axis=-1)
+    return grid_sample(
+        x,
+        grid,
+        mode=interpolation,
+        padding_mode=padding_mode,
+        align_corners=align_corners,
+    )
+
+
+def inverse_affine_matrix(m: np.ndarray) -> np.ndarray:
+    """Invert a 2x3 affine matrix (host-side; cv2.invertAffineTransform)."""
+    a = np.eye(3, dtype=np.float64)
+    a[:2] = m
+    inv = np.linalg.inv(a)
+    return inv[:2].astype(np.float64)
+
+
+def warp_affine(
+    img: Array,
+    matrix: Array,
+    out_hw: tuple[int, int],
+    *,
+    mode: str = "bilinear",
+    border_value: float = 0.0,
+) -> Array:
+    """cv2.warpAffine parity on device: for each output pixel (xo, yo),
+    sample input at M^{-1} @ (xo, yo, 1).
+
+    ``img`` (B, H, W, C); ``matrix`` (B, 2, 3) is the *forward* src→dst map
+    (as cv2 takes it); pass the already-inverted matrix with mode='inverse_*'
+    semantics by calling :func:`inverse_affine_matrix` on host. Out-of-bounds
+    pixels take ``border_value`` (BORDER_CONSTANT).
+    """
+    ho, wo = out_hw
+    # invert on device: [[a,b,c],[d,e,f]] → inverse affine
+    a, b, c = matrix[:, 0, 0], matrix[:, 0, 1], matrix[:, 0, 2]
+    d, e, f = matrix[:, 1, 0], matrix[:, 1, 1], matrix[:, 1, 2]
+    det = a * e - b * d
+    ia, ib = e / det, -b / det
+    id_, ie = -d / det, a / det
+    ic = -(ia * c + ib * f)
+    if_ = -(id_ * c + ie * f)
+
+    gy, gx = jnp.meshgrid(
+        jnp.arange(ho, dtype=img.dtype),
+        jnp.arange(wo, dtype=img.dtype),
+        indexing="ij",
+    )
+
+    def one(im, A):
+        ia_, ib_, ic_, id2, ie_, if2 = A
+        sx = ia_ * gx + ib_ * gy + ic_
+        sy = id2 * gx + ie_ * gy + if2
+        h, w = im.shape[0], im.shape[1]
+        if mode == "bilinear":
+            v = _sample_bilinear(im, sy, sx, zero_pad=True)
+        elif mode == "bicubic":
+            v = _sample_bicubic(im, sy, sx, zero_pad=True)
+        else:
+            raise ValueError(mode)
+        inb = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+        return jnp.where(inb[..., None], v, border_value)
+
+    return jax.vmap(one)(img, (ia, ib, ic, id_, ie, if_))

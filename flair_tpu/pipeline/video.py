@@ -1,0 +1,203 @@
+"""Windowed guided restoration of a face-video clip.
+
+Re-design of the demo driver (scripts/video_sample.py:265-497):
+- clips are processed in sliding windows of FRAME_SLICE_LEN=10 with
+  OVERLAP=3 (video_sample.py:202-203,361-368);
+- each window starts from q_sample(init, T-1) where init is the degraded
+  input upscaled to 512² (bicubic for x8/x16, area for gaussian/jpeg;
+  video_sample.py:372-397);
+- cross-window consistency: the previous window's last OVERLAP reconstructed
+  frames are pinned into pred_xstart at every sampler step
+  (gaussian_diffusion.py:497-506) and dropped at stitch time
+  (video_sample.py:480-485).
+
+TPU-first: the whole 100-step window restoration is ONE jitted scan
+(flair_tpu.diffusion.sampler.guided_sample_loop); the window loop is the only
+host-level loop (it is inherently sequential through prev_recon).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import (
+    Diffusion,
+    GuidanceConfig,
+    guided_sample_loop,
+    make_task_diffusion,
+    map_timesteps,
+    q_sample,
+    sr3_noise_level,
+)
+from ..ops.resize import resize_area, resize_bicubic
+from ..operators.factory import get_operator, make_restore_fn
+
+Array = jax.Array
+
+FRAME_SLICE_LEN = 10
+OVERLAP = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    """Per-task demo configuration (scripts/video_sample.py:35-171,499-556)."""
+
+    task: str
+    model_name: str          # registry key: bicubic_unet | blur_unet
+    input_size: int          # degraded input resolution
+    output_size: int = 512
+    init_mode: str = "bicubic"  # how the sampler init is upscaled
+    steps: str = "100"
+    # default guidance hyper-parameters (demo subcommands)
+    w: float = 1.0
+    rho: float = 0.35
+    noise_level: float = 0.0
+    zeta: float = -1.0
+    tau: int = 5
+    jpeg_qf: int = -1
+
+
+TASK_CONFIGS = {
+    "x8_bicubic": TaskConfig(
+        "x8_bicubic", "bicubic_unet", 64, init_mode="bicubic",
+        w=0.85, rho=0.85, noise_level=0.0,
+    ),
+    "x16_bicubic": TaskConfig(
+        "x16_bicubic", "bicubic_unet", 32, init_mode="bicubic",
+        w=0.7, rho=0.85, noise_level=0.0,
+    ),
+    "gaussian": TaskConfig(
+        "gaussian", "blur_unet", 128, init_mode="area",
+        w=0.75, rho=0.25, noise_level=2.55, zeta=1.0,
+    ),
+    "jpeg": TaskConfig(
+        "jpeg", "blur_unet", 128, init_mode="area",
+        w=0.5, rho=0.5, noise_level=12.75, zeta=1.0, jpeg_qf=60,
+    ),
+}
+
+
+def window_slices(num_frames: int, win: int = FRAME_SLICE_LEN, overlap: int = OVERLAP):
+    """(start, length) of each sliding window — more_itertools.windowed with
+    step = win−overlap and a SHORT tail window (None-filtered), exactly as
+    the demo driver builds them (video_sample.py:361-368)."""
+    step = win - overlap
+    out = []
+    start = 0
+    while True:
+        length = min(win, num_frames - start)
+        out.append((start, length))
+        if start + length >= num_frames:
+            break
+        start += step
+    return out
+
+
+def init_from_degraded(frames01: Array, cfg: TaskConfig) -> Array:
+    """Upscale degraded [0,1] frames to the output size and map to [-1,1]
+    (video_sample.py:372-377 INIT_FUNC)."""
+    size = (cfg.output_size, cfg.output_size)
+    if cfg.init_mode == "bicubic":
+        up = jnp.clip(resize_bicubic(frames01, size), 0, 1)
+    else:
+        up = jnp.clip(resize_area(frames01, size), 0, 1)
+    return up * 2.0 - 1.0
+
+
+def restore_video(
+    degraded01: np.ndarray,
+    cfg: TaskConfig,
+    model_apply: Callable,        # (x, t_spaced, extras...) -> raw model out
+    *,
+    diffusion: Optional[Diffusion] = None,
+    face_fn=None,
+    guidance: Optional[GuidanceConfig] = None,
+    rng: Optional[Array] = None,
+    win: int = FRAME_SLICE_LEN,
+    overlap: int = OVERLAP,
+) -> np.ndarray:
+    """Restore a full clip window by window.
+
+    ``degraded01``: (T, h, w, 3) in [0, 1] host array.
+    ``model_apply(x, t, low_res, rnn_input, vsrpp_weights)`` is the wrapped
+    denoiser returning the raw model output for spaced step t.
+    Returns (T, 512, 512, 3) in [0, 1].
+    """
+    d = diffusion or make_task_diffusion(cfg.task, cfg.steps)
+    g = guidance or GuidanceConfig(
+        w=cfg.w,
+        rho=cfg.rho,
+        noise_level=cfg.noise_level,
+        zeta=cfg.zeta,
+        tau=cfg.tau,
+        use_aux=face_fn is not None,
+    )
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    operator = get_operator(cfg.task, cfg.output_size)
+    t_all = degraded01.shape[0]
+    frames = jnp.asarray(degraded01, jnp.float32)
+
+    outputs = [None] * t_all
+    prev_recon = None  # (1, overlap, H, W, 3) tail of previous window
+
+    for wi, (start, length) in enumerate(window_slices(t_all, win, overlap)):
+        sl = frames[start : start + length][None]  # (1, Tw, h, w, 3)
+        tw = sl.shape[1]
+        init = init_from_degraded(sl, cfg)
+        low_res = init  # conditioning = upscaled degraded (video_sample.py:399-425)
+
+        rng, k_init, k_loop = jax.random.split(rng, 3)
+        noise = jax.random.normal(k_init, init.shape, init.dtype)
+        t_last = jnp.full((1,), d.num_timesteps - 1, jnp.int32)
+        x_t = q_sample(d, init, t_last, noise)
+
+        restore = make_restore_fn(
+            cfg.task,
+            operator,
+            sl.reshape(tw, *sl.shape[2:]),
+            jpeg_qf=cfg.jpeg_qf,
+        )
+
+        def restore_fn(x0):
+            flat = x0.reshape((x0.shape[0] * x0.shape[1],) + x0.shape[2:])
+            out = restore(flat)
+            return out.reshape(x0.shape)
+
+        pin_mask = None
+        pin_values = None
+        if prev_recon is not None:
+            mask = np.zeros((1, tw, 1, 1, 1), np.float32)
+            mask[:, :overlap] = 1.0
+            pin_mask = jnp.asarray(mask, bool)
+            pin_values = jnp.zeros_like(x_t).at[:, :overlap].set(prev_recon)
+
+        def model_fn(x, t):
+            return model_apply(x, t, low_res, low_res, None)
+
+        sample = guided_sample_loop(
+            d,
+            model_fn,
+            x_t,
+            k_loop,
+            g,
+            restore_fn=restore_fn,
+            face_fn=face_fn,
+            pin_mask=pin_mask,
+            pin_values=pin_values,
+        )
+        sample.block_until_ready()
+
+        keep_from = overlap if prev_recon is not None else 0
+        recon = np.asarray(sample[0])
+        for i in range(keep_from, tw):
+            outputs[start + i] = recon[i]
+        prev_recon = jnp.asarray(sample[:, tw - overlap :])
+
+    out = np.stack(outputs)  # (T, H, W, 3) in [-1, 1]
+    return np.clip((out + 1.0) / 2.0, 0.0, 1.0)

@@ -1,14 +1,23 @@
 """Test configuration: force an 8-device virtual CPU backend so sharding and
 collective tests run without TPU hardware (reference has no test suite at all;
-see SURVEY.md §4 — this is the JAX-native fake-backend pattern)."""
+see SURVEY.md §4 — this is the JAX-native fake-backend pattern).
+
+Note: this machine's sitecustomize registers a TPU PJRT plugin and pins
+JAX_PLATFORMS at interpreter startup, so the env var alone is not enough —
+we also update jax.config before any backend is initialised.
+"""
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before jax initialises its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
