@@ -51,6 +51,7 @@ class BlurUNet(nn.Module):
     resblock_updown: bool = True
     temporal_block: bool = True
     temporal_frames: int = 5
+    deform_groups: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -142,9 +143,10 @@ class BlurUNet(nn.Module):
             if ds in self.rnn_resolutions and cross:
                 res = h.shape[2]
                 fwd, bwd = flows[res]
-                h = BasicVSRPP(h.shape[-1], dtype=self.dtype, name=name)(
-                    h, fwd, bwd, vsrpp_weights
-                )
+                h = BasicVSRPP(
+                    h.shape[-1], deform_groups=self.deform_groups,
+                    dtype=self.dtype, name=name,
+                )(h, fwd, bwd, vsrpp_weights)
             return h
 
         h = x.astype(self.dtype)

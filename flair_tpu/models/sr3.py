@@ -47,6 +47,7 @@ class SR3LevelBlock(nn.Module):
     vsrpp: bool
     num_frames: int
     head_dim: int
+    deform_groups: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -87,7 +88,9 @@ class SR3LevelBlock(nn.Module):
         if self.vsrpp and enable_cross_frames:
             fwd, bwd = flows
             out = BasicVSRPP(
-                c, max_residue_magnitude=5.0, dtype=self.dtype, name="vsrpp"
+                c, max_residue_magnitude=5.0,
+                deform_groups=self.deform_groups,
+                dtype=self.dtype, name="vsrpp",
             )(x, fwd, bwd, vsrpp_weights)
             x = TemporalWrapper2(c, dtype=self.dtype, name="vsrpp_gate")(x, out, emb)
         return x
@@ -113,6 +116,7 @@ class BicubicUNet(nn.Module):
     cross_frame_module: bool = True
     num_frames: int = 7
     head_dim: int = 64
+    deform_groups: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -187,6 +191,7 @@ class BicubicUNet(nn.Module):
                     vsrpp=flags["vsrpp"],
                     num_frames=self.num_frames,
                     head_dim=self.head_dim,
+                    deform_groups=self.deform_groups,
                     dtype=self.dtype,
                     name=f"down_{li}",
                 )(
@@ -232,6 +237,7 @@ class BicubicUNet(nn.Module):
                     vsrpp=flags["vsrpp"],
                     num_frames=self.num_frames,
                     head_dim=self.head_dim,
+                    deform_groups=self.deform_groups,
                     dtype=self.dtype,
                     name=f"up_{li}",
                 )(

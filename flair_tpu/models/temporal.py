@@ -59,12 +59,18 @@ class TemporalAttention(nn.Module):
         else:
             h = x
 
-        # relative-position embeddings (host constants):
+        # relative-position embeddings (host numpy constants, jit-safe):
         # timestep_embedding(arange(F) - F//2, C); centre is the query term.
-        rel = np.arange(f) - f // 2
-        emb = np.asarray(
-            timestep_embedding(jnp.asarray(rel, jnp.float32), c)
-        )
+        import math
+
+        rel = (np.arange(f) - f // 2).astype(np.float64)
+        half = c // 2
+        freqs = np.exp(-math.log(10000.0) * np.arange(half) / half)
+        args = rel[:, None] * freqs[None]
+        emb = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+        if c % 2:
+            emb = np.concatenate([emb, np.zeros_like(emb[:, :1])], axis=-1)
+        emb = emb.astype(np.float32)
         t_mid = jnp.asarray(emb[f // 2], dtype=self.dtype)
         t_rest = jnp.asarray(
             np.delete(emb, f // 2, axis=0), dtype=self.dtype

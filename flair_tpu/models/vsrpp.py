@@ -145,6 +145,7 @@ class _PropStep(nn.Module):
 
     features: int
     max_residue_magnitude: float
+    deform_groups: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -163,6 +164,7 @@ class _PropStep(nn.Module):
         packed = jnp.concatenate([prop_n1, prop_n2], axis=-1)
         aligned = SecondOrderDeformableAlignment(
             c,
+            deform_groups=self.deform_groups,
             max_residue_magnitude=self.max_residue_magnitude,
             dtype=self.dtype,
             name="deform_align",
@@ -192,6 +194,7 @@ class BasicVSRPP(nn.Module):
 
     features: int
     max_residue_magnitude: float = 10.0
+    deform_groups: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -248,6 +251,7 @@ class BasicVSRPP(nn.Module):
         _, bwd = scan(
             self.features,
             self.max_residue_magnitude,
+            self.deform_groups,
             self.dtype,
             name="backward_1",
         )(init, (feats_rev, extra_empty, fb_n1, fb_n2, w_rev, idxs))
@@ -263,6 +267,7 @@ class BasicVSRPP(nn.Module):
         _, fwd = scan(
             self.features,
             self.max_residue_magnitude,
+            self.deform_groups,
             self.dtype,
             name="forward_1",
         )(init, (feats_fwd, extra_fwd, ff_n1, ff_n2, w_fwd, idxs))
