@@ -1,0 +1,74 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh (SURVEY.md §4 layer 5):
+halo exchange correctness, batch sharding, data-parallel gradient psum."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def test_halo_exchange_matches_replicate_pad():
+    from jax.experimental.shard_map import shard_map
+
+    from flair_tpu.parallel import make_mesh
+    from flair_tpu.parallel.halo import halo_exchange_frames
+
+    n = 4
+    mesh = make_mesh(n, axes=("frame",), shape=(n,))
+    b, t_local, c = 1, 2, 3
+    t = n * t_local
+    x = jnp.arange(b * t * c, dtype=jnp.float32).reshape(b, t, c)
+
+    halo = 1
+    fn = shard_map(
+        lambda v: halo_exchange_frames(v, halo, "frame"),
+        mesh=mesh,
+        in_specs=P(None, "frame", None),
+        out_specs=P(None, "frame", None),
+    )
+    out = np.asarray(fn(x))  # (b, n*(t_local+2h), c)
+    want_full = np.concatenate(
+        [np.asarray(x[:, :1])] * halo + [np.asarray(x)] + [np.asarray(x[:, -1:])] * halo,
+        axis=1,
+    )
+    # each shard's haloed block must equal the corresponding slice of the
+    # replicate-padded full sequence
+    blocks = out.reshape(b, n, t_local + 2 * halo, c)
+    for i in range(n):
+        np.testing.assert_allclose(
+            blocks[:, i], want_full[:, i * t_local : i * t_local + t_local + 2 * halo]
+        )
+
+
+def test_data_parallel_grad_matches_single_device():
+    """Gradients of a jitted loss with batch sharded over 'data' must equal
+    the single-device gradients — GSPMD inserts the psum (the reference's
+    DDP all-reduce, train_util.py:125-132)."""
+    from flair_tpu.parallel import batch_sharding, make_mesh, replicate_params
+
+    mesh = make_mesh(4, axes=("data",), shape=(4,))
+    w = jnp.asarray(np.random.RandomState(0).randn(8, 4), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(1).randn(16, 8), jnp.float32)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    g_single = jax.grad(loss)(w, x)
+    with mesh:
+        w_r = replicate_params(mesh, w)
+        x_s = jax.device_put(x, batch_sharding(mesh, ndim=2))
+        g_sharded = jax.jit(jax.grad(loss))(w_r, x_s)
+    np.testing.assert_allclose(
+        np.asarray(g_sharded), np.asarray(g_single), atol=1e-5
+    )
+
+
+def test_mesh_shapes():
+    from flair_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, axes=("data", "frame"), shape=(4, 2))
+    assert mesh.shape == {"data": 4, "frame": 2}
+    mesh = make_mesh(8)
+    assert mesh.shape["data"] == 8
