@@ -86,6 +86,58 @@ def build_model(task: str, checkpoint: str | None, *, dtype=None):
     return model, params
 
 
+def build_face_stack(task: str, *, checkpoint_dir: str | None = None,
+                     output_size: int = 512):
+    """Construct detector + CodeFormer + ParseNet appliers for the demo path
+    (reference: FaceRestoreHelper init at video_sample.py:332, CodeFormer load
+    at :351-359, fusion wiring at :446-479).
+
+    Returns (face_helper, codeformer_apply, parsenet_apply). Weights load from
+    ``checkpoint_dir`` ({retinaface,codeformer,parsenet}.{npz|pt...}) when
+    given; random init otherwise (wiring-correct; quality requires released
+    weights, as in the reference's auto-download path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .face.helper import FaceRestoreHelper
+    from .models.codeformer import CodeFormer
+    from .models.parsenet import ParseNet
+    from .models.retinaface import RetinaFace, RetinaFaceDetector
+
+    def _params(model, init_args, name):
+        rng = jax.random.PRNGKey(0)
+        if checkpoint_dir:
+            import os as _os
+
+            from .utils.checkpoint import load_params
+
+            for ext in (".npz", ".pt", ".pth", ""):
+                path = _os.path.join(checkpoint_dir, name + ext)
+                if _os.path.exists(path):
+                    return load_params(path, model, init_args)
+        return model.init(rng, *init_args)
+
+    det_model = RetinaFace(network="resnet50")
+    det_params = _params(
+        det_model, (jnp.zeros((1, output_size, output_size, 3)),), "retinaface"
+    )
+    detector = RetinaFaceDetector(det_model, det_params, network="resnet50")
+    helper = FaceRestoreHelper(detector, face_size=output_size)
+
+    cf = CodeFormer(dtype=jnp.bfloat16)
+    cf_params = _params(cf, (jnp.zeros((1, 512, 512, 3)),), "codeformer")
+    codeformer_apply = jax.jit(
+        lambda x: cf.apply(cf_params, x, w=1.0, adain=True)[0]
+    )
+
+    pn = ParseNet(dtype=jnp.bfloat16)
+    pn_params = _params(pn, (jnp.zeros((1, 512, 512, 3)),), "parsenet")
+    parsenet_apply = jax.jit(lambda x: pn.apply(pn_params, x)[0])
+
+    return helper, codeformer_apply, parsenet_apply
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="flair_tpu", description=__doc__)
     sub = p.add_subparsers(dest="task", required=True)
@@ -105,6 +157,10 @@ def main(argv=None) -> int:
                         help="restore only the first N frames")
         sp.add_argument("--no-face", action="store_true",
                         help="disable the CodeFormer face prior")
+        sp.add_argument("--face-checkpoint-dir", default=None,
+                        help="dir with converted retinaface/codeformer/"
+                             "parsenet weights")
+        sp.add_argument("--t-start", type=int, default=-1)
         sp.add_argument("--window", type=int, default=10)
         sp.add_argument("--overlap", type=int, default=3)
 
@@ -124,6 +180,8 @@ def main(argv=None) -> int:
         ).items()
         if v is not None
     }
+    if args.t_start != -1:
+        overrides["t_start"] = args.t_start
     cfg = dataclasses.replace(cfg, **overrides)
 
     frames = load_frames(args.input_dir)
@@ -137,8 +195,19 @@ def main(argv=None) -> int:
     )
     model_apply = wrap(d, model, params)
 
+    face_helper = codeformer_apply = parsenet_apply = None
+    if not args.no_face:
+        face_helper, codeformer_apply, parsenet_apply = build_face_stack(
+            args.task,
+            checkpoint_dir=args.face_checkpoint_dir,
+            output_size=cfg.output_size,
+        )
+
     out = restore_video(
         frames, cfg, model_apply, diffusion=d,
+        face_helper=face_helper,
+        codeformer_apply=codeformer_apply,
+        parsenet_apply=parsenet_apply,
         win=args.window, overlap=args.overlap,
     )
     save_frames(out, args.output_dir)

@@ -59,17 +59,21 @@ class TaskConfig:
     noise_level: float = 0.0
     zeta: float = -1.0
     tau: int = 5
+    t_start: int = -1        # -1 → start from T-1 (video_sample.py:378-397)
     jpeg_qf: int = -1
+    # x8/x16 down-weight VSR++ propagation on the parsed background
+    # (video_sample.py:427-444): weight = mask_bg·bg_weight + (1−mask_bg)·1
+    vsrpp_bg_weight: float = -1.0
 
 
 TASK_CONFIGS = {
     "x8_bicubic": TaskConfig(
         "x8_bicubic", "bicubic_unet", 64, init_mode="bicubic",
-        w=0.85, rho=0.85, noise_level=0.0,
+        w=0.85, rho=0.85, noise_level=0.0, vsrpp_bg_weight=0.93,
     ),
     "x16_bicubic": TaskConfig(
         "x16_bicubic", "bicubic_unet", 32, init_mode="bicubic",
-        w=0.7, rho=0.85, noise_level=0.0,
+        w=0.7, rho=0.85, noise_level=0.0, vsrpp_bg_weight=0.98,
     ),
     "gaussian": TaskConfig(
         "gaussian", "blur_unet", 128, init_mode="area",
@@ -109,13 +113,35 @@ def init_from_degraded(frames01: Array, cfg: TaskConfig) -> Array:
     return up * 2.0 - 1.0
 
 
+def _fill_missing_matrices(mats):
+    """Replace None entries (frames with no detected face) by the nearest
+    frame's matrix. Returns (T,2,3) array or None if no frame has a face.
+    (The reference zips frames against the found-face matrices and would
+    mis-pair on a miss, video_sample.py:446-448 — demo clips always detect;
+    nearest-neighbour reuse is the graceful generalisation.)"""
+    idx = [i for i, m in enumerate(mats) if m is not None]
+    if not idx:
+        return None
+    out = []
+    for i in range(len(mats)):
+        if mats[i] is not None:
+            out.append(mats[i])
+        else:
+            j = min(idx, key=lambda k: abs(k - i))
+            out.append(mats[j])
+    return np.stack(out).astype(np.float32)
+
+
 def restore_video(
     degraded01: np.ndarray,
     cfg: TaskConfig,
     model_apply: Callable,        # (x, t_spaced, extras...) -> raw model out
     *,
     diffusion: Optional[Diffusion] = None,
-    face_fn=None,
+    face_fn=None,                 # fixed face_fn (overrides face_helper path)
+    face_helper=None,             # FaceRestoreHelper: per-window detection
+    codeformer_apply=None,        # (N,512,512,3)→restored faces ([-1,1] NHWC)
+    parsenet_apply=None,          # (N,512,512,3)→(N,512,512,19) mask logits
     guidance: Optional[GuidanceConfig] = None,
     rng: Optional[Array] = None,
     win: int = FRAME_SLICE_LEN,
@@ -126,41 +152,93 @@ def restore_video(
     ``degraded01``: (T, h, w, 3) in [0, 1] host array.
     ``model_apply(x, t, low_res, rnn_input, vsrpp_weights)`` is the wrapped
     denoiser returning the raw model output for spaced step t.
+
+    Face prior (video_sample.py:446-479): when ``face_helper`` and
+    ``codeformer_apply`` are given, faces are detected once per window on the
+    upscaled init frames, and the per-step crop → CodeFormer(adain) →
+    ParseNet-mask paste-back runs on device inside the scanned sampler.
     Returns (T, 512, 512, 3) in [0, 1].
     """
+    from ..face.helper import make_face_fn
+
     d = diffusion or make_task_diffusion(cfg.task, cfg.steps)
-    g = guidance or GuidanceConfig(
-        w=cfg.w,
-        rho=cfg.rho,
-        noise_level=cfg.noise_level,
-        zeta=cfg.zeta,
-        tau=cfg.tau,
-        use_aux=face_fn is not None,
-    )
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     operator = get_operator(cfg.task, cfg.output_size)
     t_all = degraded01.shape[0]
     frames = jnp.asarray(degraded01, jnp.float32)
+    is_blur_task = cfg.task in ("gaussian", "jpeg")
 
     outputs = [None] * t_all
     prev_recon = None  # (1, overlap, H, W, 3) tail of previous window
 
     for wi, (start, length) in enumerate(window_slices(t_all, win, overlap)):
-        sl = frames[start : start + length][None]  # (1, Tw, h, w, 3)
+        sl = frames[start : start + length][None]  # (1, Tw, h, w, 3) in [0,1]
         tw = sl.shape[1]
         init = init_from_degraded(sl, cfg)
-        low_res = init  # conditioning = upscaled degraded (video_sample.py:399-425)
+        low_res = init  # conditioning = upscaled degraded (video_sample.py:399-403)
+        # degraded frames are normalised to [-1,1] BEFORE the restore closure
+        # (video_sample.py:373: (d − 0.5)/0.5)
+        degraded_pm1 = sl * 2.0 - 1.0
+
+        # SPyNet conditioning: bicubic-upscaled degraded for gaussian/jpeg
+        # (video_sample.py:405-425); BlurUNet/BicubicUNet default rnn_input =
+        # low_res otherwise (unet_new.py:1332-1333).
+        if is_blur_task:
+            rnn_input = jnp.clip(
+                resize_bicubic(sl, (cfg.output_size, cfg.output_size)) * 2.0 - 1.0,
+                -1.0,
+                1.0,
+            )
+        else:
+            rnn_input = low_res
+
+        # x8/x16: down-weight VSR++ propagation on the parsed background
+        # (video_sample.py:427-444): weight = 1[bg]·0.93/0.98 + 1[face]·1.
+        vsrpp_weights = None
+        if cfg.vsrpp_bg_weight > 0 and parsenet_apply is not None:
+            logits = parsenet_apply(init.reshape(tw, *init.shape[2:]))
+            bg = (jnp.argmax(logits, axis=-1) == 0).astype(jnp.float32)[..., None]
+            vsrpp_weights = (
+                bg * cfg.vsrpp_bg_weight + (1.0 - bg) * 1.0
+            )[None]  # (1, Tw, H, W, 1)
+
+        # face prior: detect once per window on the init frames
+        # (video_sample.py:446-448), fuse on device per step.
+        window_face_fn = face_fn
+        if window_face_fn is None and face_helper is not None and codeformer_apply:
+            init01 = np.asarray((init[0] + 1.0) / 2.0)
+            mats = _fill_missing_matrices(
+                face_helper.get_affine_matrices(
+                    init01, only_keep_largest=True, eye_dist_threshold=0.1
+                )
+            )
+            if mats is not None:
+                window_face_fn = make_face_fn(
+                    mats, codeformer_apply, parsenet_apply,
+                    face_size=cfg.output_size,
+                )
+
+        g = guidance or GuidanceConfig(
+            w=cfg.w,
+            rho=cfg.rho,
+            noise_level=cfg.noise_level,
+            zeta=cfg.zeta,
+            tau=cfg.tau,
+            t_start=cfg.t_start,
+            use_aux=window_face_fn is not None,
+        )
 
         rng, k_init, k_loop = jax.random.split(rng, 3)
         noise = jax.random.normal(k_init, init.shape, init.dtype)
-        t_last = jnp.full((1,), d.num_timesteps - 1, jnp.int32)
-        x_t = q_sample(d, init, t_last, noise)
+        # init is q_sampled at t_start when set, else T-1 (video_sample.py:378-397)
+        t_init = d.num_timesteps - 1 if cfg.t_start == -1 else cfg.t_start
+        x_t = q_sample(d, init, jnp.full((1,), t_init, jnp.int32), noise)
 
         restore = make_restore_fn(
             cfg.task,
             operator,
-            sl.reshape(tw, *sl.shape[2:]),
+            degraded_pm1.reshape(tw, *sl.shape[2:]),
             jpeg_qf=cfg.jpeg_qf,
         )
 
@@ -178,7 +256,7 @@ def restore_video(
             pin_values = jnp.zeros_like(x_t).at[:, :overlap].set(prev_recon)
 
         def model_fn(x, t):
-            return model_apply(x, t, low_res, low_res, None)
+            return model_apply(x, t, low_res, rnn_input, vsrpp_weights)
 
         sample = guided_sample_loop(
             d,
@@ -187,7 +265,7 @@ def restore_video(
             k_loop,
             g,
             restore_fn=restore_fn,
-            face_fn=face_fn,
+            face_fn=window_face_fn,
             pin_mask=pin_mask,
             pin_values=pin_values,
         )

@@ -21,3 +21,16 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _tmp_cwd(tmp_path_factory):
+    """Run the whole session from a tmpdir: parity tests execute the
+    reference's own code, which writes debris (e.g. imresize_pseudoSR.py:59
+    sio.savemat('rot59.mat')) into the cwd."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("cwd"))
+    yield
+    os.chdir(cwd)

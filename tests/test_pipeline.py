@@ -70,3 +70,127 @@ def test_wrappers_condition_mapping():
     assert 0.0 < float(lvl) <= 1.0
     t_orig = int(map_timesteps(d, jnp.asarray(9)))
     assert 0 <= t_orig < 2000
+
+
+def test_restore_video_fidelity_wiring(monkeypatch):
+    """The restore closure must receive degraded frames in [-1,1]
+    (video_sample.py:373) and, for gaussian/jpeg, the model must receive
+    rnn_input = clip(bicubic_up(degraded)·2−1) distinct from low_res
+    (video_sample.py:405-425)."""
+    import dataclasses
+
+    import flair_tpu.pipeline.video as pv
+
+    captured = {}
+    real_make = pv.make_restore_fn
+
+    def spy_make(task, operator, degraded, jpeg_qf=-1):
+        captured["degraded"] = np.asarray(degraded)
+        return lambda x0: jnp.zeros_like(x0)
+
+    monkeypatch.setattr(pv, "make_restore_fn", spy_make)
+
+    def model_apply(x, t, low_res, rnn, w):
+        captured["low_res"] = low_res
+        captured["rnn"] = rnn
+        return jnp.concatenate(
+            [jnp.zeros_like(x), jnp.zeros_like(x)], axis=-1
+        )  # (eps, var) learned-range shape
+
+    cfg = dataclasses.replace(
+        pv.TASK_CONFIGS["gaussian"], output_size=32, input_size=8, steps="2"
+    )
+    frames = np.random.RandomState(0).rand(3, 8, 8, 3).astype(np.float32)
+    out = pv.restore_video(frames, cfg, model_apply, win=3, overlap=1)
+    assert out.shape == (3, 32, 32, 3)
+
+    d = captured["degraded"]
+    # [0,1] input with random values → [-1,1] after the fix; mean ≈ 0
+    assert d.min() < -0.2 and d.max() > 0.2
+    np.testing.assert_allclose(d, frames * 2.0 - 1.0, atol=1e-6)
+
+    rnn = np.asarray(captured["rnn"])
+    lr = np.asarray(captured["low_res"])
+    assert rnn.shape == lr.shape
+    assert not np.allclose(rnn, lr)  # bicubic(d)·2−1 ≠ area-up init
+    from flair_tpu.ops.resize import resize_bicubic
+
+    want = np.clip(
+        np.asarray(resize_bicubic(jnp.asarray(frames[None]), (32, 32))) * 2 - 1,
+        -1, 1,
+    )
+    np.testing.assert_allclose(rnn, want, atol=1e-5)
+
+
+def test_restore_video_t_start():
+    """t_start != -1 → init q_sampled at t_start and the loop runs from
+    t_start down (video_sample.py:378-397)."""
+    import dataclasses
+
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=32, input_size=4,
+        steps="4", t_start=1,
+    )
+
+    def model_apply(x, t, low_res, rnn, w):
+        return jnp.zeros_like(x)
+
+    frames = np.random.RandomState(1).rand(2, 4, 4, 3).astype(np.float32)
+    out = restore_video(frames, cfg, model_apply, win=2, overlap=1)
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_restore_video_face_fusion_and_vsrpp_weights():
+    """Face prior wired end-to-end: a stub detector/CodeFormer changes the
+    output vs --no-face, and x8 vsrpp_weights are built from the ParseNet
+    background mask (video_sample.py:427-448)."""
+    import dataclasses
+
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+
+    size = 32
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=size, input_size=4, steps="2",
+        tau=0,
+    )
+
+    captured = {}
+
+    def model_apply(x, t, low_res, rnn, w):
+        captured["vsrpp_weights"] = w
+        return jnp.zeros_like(x)
+
+    class StubHelper:
+        def get_affine_matrices(self, frames01, **kw):
+            ident = np.array([[1.0, 0, 0], [0, 1.0, 0]])
+            return [ident] * (len(frames01) - 1) + [None]  # one miss
+
+    def codeformer_apply(faces):
+        return jnp.clip(faces + 0.5, -1, 1)
+
+    def parsenet_apply(imgs):
+        # bg (class 0) wins on the left half, class 1 on the right
+        n, h, w, _ = imgs.shape
+        logits = jnp.zeros((n, h, w, 19))
+        left = (jnp.arange(w) < w // 2)[None, None, :, None]
+        return logits + jnp.where(left, jnp.eye(19)[0], jnp.eye(19)[1])
+
+    frames = np.random.RandomState(2).rand(2, 4, 4, 3).astype(np.float32)
+    out_face = restore_video(
+        frames, cfg, model_apply,
+        face_helper=StubHelper(),
+        codeformer_apply=codeformer_apply,
+        parsenet_apply=parsenet_apply,
+        win=2, overlap=1,
+    )
+    w = captured["vsrpp_weights"]
+    assert w is not None and w.shape == (1, 2, size, size, 1)
+    wnp = np.asarray(w)
+    assert np.allclose(np.unique(wnp), [0.93, 1.0])  # bg 0.93, face 1.0
+
+    out_plain = restore_video(frames, cfg, model_apply, win=2, overlap=1)
+    assert out_face.shape == out_plain.shape == (2, size, size, 3)
+    assert not np.allclose(out_face, out_plain)  # face prior changed output
