@@ -105,8 +105,7 @@ def build_face_stack(task: str, *, checkpoint_dir: str | None = None,
     from .models.parsenet import ParseNet
     from .models.retinaface import RetinaFace, RetinaFaceDetector
 
-    def _params(model, init_args, name):
-        rng = jax.random.PRNGKey(0)
+    def _params(init_fn, name):
         if checkpoint_dir:
             import os as _os
 
@@ -115,24 +114,32 @@ def build_face_stack(task: str, *, checkpoint_dir: str | None = None,
             for ext in (".npz", ".pt", ".pth", ""):
                 path = _os.path.join(checkpoint_dir, name + ext)
                 if _os.path.exists(path):
-                    return load_params(path, model, init_args)
-        return model.init(rng, *init_args)
+                    return load_params(path, model_name=name)
+        return init_fn(jax.random.PRNGKey(0))
 
     det_model = RetinaFace(network="resnet50")
     det_params = _params(
-        det_model, (jnp.zeros((1, output_size, output_size, 3)),), "retinaface"
+        lambda r: det_model.init(r, jnp.zeros((1, output_size, output_size, 3))),
+        "retinaface",
     )
     detector = RetinaFaceDetector(det_model, det_params, network="resnet50")
     helper = FaceRestoreHelper(detector, face_size=output_size)
 
+    # init with w=1.0 so the lazily-built SFT fuse blocks get params
+    # (the demo applies CodeFormer with w=1, adain=True, video_sample.py:451)
     cf = CodeFormer(dtype=jnp.bfloat16)
-    cf_params = _params(cf, (jnp.zeros((1, 512, 512, 3)),), "codeformer")
+    cf_params = _params(
+        lambda r: cf.init(r, jnp.zeros((1, 512, 512, 3)), w=1.0, adain=True),
+        "codeformer",
+    )
     codeformer_apply = jax.jit(
         lambda x: cf.apply(cf_params, x, w=1.0, adain=True)[0]
     )
 
     pn = ParseNet(dtype=jnp.bfloat16)
-    pn_params = _params(pn, (jnp.zeros((1, 512, 512, 3)),), "parsenet")
+    pn_params = _params(
+        lambda r: pn.init(r, jnp.zeros((1, 512, 512, 3))), "parsenet"
+    )
     parsenet_apply = jax.jit(lambda x: pn.apply(pn_params, x)[0])
 
     return helper, codeformer_apply, parsenet_apply

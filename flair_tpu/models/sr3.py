@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.embed import sr3_noise_embedding
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bilinear_aa
 from .blocks import ResBlock, SR3ResnetBlock, SR3SelfAttention
 from .common import Conv2d, Dense, GroupNorm32, silu
 from .registry import register_model
@@ -155,7 +155,9 @@ class BicubicUNet(nn.Module):
             lq01 = jnp.clip((rnn_input.astype(jnp.float32) + 1) / 2, 0, 1)
             for res in self.vsrpp_res:
                 if lq01.shape[2] != res:
-                    lq = resize_bilinear(lq01, (res, res))
+                    # reference downsizes with antialiased bilinear
+                    # (unet.py:543-550) before computing flows
+                    lq = resize_bilinear_aa(lq01, (res, res))
                 else:
                     lq = lq01
                 l1 = lq[:, :-1].reshape(b * (t - 1), res, res, 3)

@@ -22,20 +22,23 @@ def group_norm(
     bias: Array | None = None,
     eps: float = 1e-5,
 ) -> Array:
-    """GroupNorm over (..., H, W, C) with stats in f32 (nn.py:652-654).
+    """GroupNorm over (B, ..., C) with stats in f32 (nn.py:652-654).
 
-    Statistics are over (H, W, C//G) per group, matching torch GroupNorm on
-    a (B', C, H, W) view.
+    Statistics are per batch element over ALL remaining dims × (C//G): for a
+    5-D (B, T, H, W, C) video this is JOINT over the frame axis, matching the
+    reference's LazyReshaper3D(GroupNorm32) convention used by every norm in
+    both UNets (nn.py:350-367 + unet_new.py:238,266,358,408,461,1217).
     """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    *lead, h, w, c = xf.shape
+    shape = xf.shape
+    b, c = shape[0], shape[-1]
     g = num_groups
-    xg = xf.reshape(*lead, h, w, g, c // g)
-    mean = xg.mean(axis=(-4, -3, -1), keepdims=True)
-    var = xg.var(axis=(-4, -3, -1), keepdims=True)
+    xg = xf.reshape(b, -1, g, c // g)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = xg.reshape(*lead, h, w, c)
+    out = xg.reshape(shape)
     if weight is not None:
         out = out * weight.astype(jnp.float32)
     if bias is not None:

@@ -316,6 +316,22 @@ def _interp_matrix_np(
             m[i, min(int(i * in_size / out_size), in_size - 1)] = 1.0
         return m
     scale = in_size / out_size
+    if mode == "bilinear_aa":
+        # torch F.interpolate(antialias=True): triangle kernel stretched by
+        # the scale factor on downscale (unet.py:545-549 lqs resize); equals
+        # plain bilinear when upscaling.
+        if scale <= 1.0:
+            return _interp_matrix_np(out_size, in_size, "bilinear", a)
+        for i in range(out_size):
+            x = (i + 0.5) * scale - 0.5
+            lo = int(np.floor(x - scale)) + 1
+            hi = int(np.ceil(x + scale))
+            js = np.arange(lo, hi + 1)
+            w = np.maximum(0.0, 1.0 - np.abs(js - x) / scale)
+            w = w / w.sum()
+            for j, wgt in zip(js, w):
+                m[i, int(np.clip(j, 0, in_size - 1))] += wgt
+        return m
     for i in range(out_size):
         x = (i + 0.5) * scale - 0.5
         if mode == "bilinear":
@@ -363,3 +379,9 @@ def resize_bilinear(x: Array, out_hw: tuple[int, int]) -> Array:
 def resize_area(x: Array, out_hw: tuple[int, int]) -> Array:
     """torch F.interpolate(mode='area') / adaptive average pool parity."""
     return _separable_resize(x, out_hw, "area")
+
+
+def resize_bilinear_aa(x: Array, out_hw: tuple[int, int]) -> Array:
+    """torch F.interpolate(mode='bilinear', antialias=True) parity — the
+    reference resizes VSR++ flow inputs this way (unet.py:543-550)."""
+    return _separable_resize(x, out_hw, "bilinear_aa")

@@ -44,11 +44,33 @@ def load_pytree(path: str, target=None):
     return ckptr.restore(os.path.abspath(path))
 
 
-def load_params(path: str, model=None, init_args=None):
-    """Load model params from an orbax dir or a ``.npz`` flat file."""
+def load_params(path: str, model=None, init_args=None, model_name: str = ""):
+    """Load model params from an orbax dir, a ``.npz`` flat file, or a torch
+    ``.pt``/``.pth`` checkpoint (dispatched through the per-model converter in
+    flair_tpu.utils.convert, keyed by ``model_name``)."""
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=False))
         return unflatten_params(flat)
+    if path.endswith((".pt", ".pth")):
+        from . import convert
+
+        converters = {
+            "codeformer": convert.convert_codeformer,
+            "parsenet": convert.convert_parsenet,
+            "spynet": convert.convert_spynet,
+        }
+        for extra in ("convert_retinaface", "convert_bicubic_unet",
+                      "convert_blur_unet"):
+            if hasattr(convert, extra):
+                converters[extra.removeprefix("convert_")] = getattr(
+                    convert, extra
+                )
+        if model_name not in converters:
+            raise ValueError(
+                f"no torch converter registered for {model_name!r}; "
+                f"known: {sorted(converters)}"
+            )
+        return converters[model_name](load_torch_state_dict(path))
     return load_pytree(path)
 
 

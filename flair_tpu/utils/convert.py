@@ -1,0 +1,448 @@
+"""torch → flax weight converters for the reference's released checkpoints.
+
+Each ``convert_<model>(state_dict)`` walks the torch module's construction
+order (mirroring the reference ``__init__`` loops) and emits the flat
+flax param dict, so the tables stay correct for any config the reference
+supports. Reference load sites: scripts/video_sample.py:327-359 (FLAIR UNets,
+CodeFormer), facelib/detection/__init__.py:25-48 and
+facelib/parsing/__init__.py:8-25 (RetinaFace / ParseNet auto-downloads).
+
+Conventions:
+- torch Conv2d (O,I,kh,kw) → flax HWIO; Linear (O,I) → (I,O);
+- GroupNorm/LayerNorm/BatchNorm ``weight`` → flax ``scale``;
+- our GNorm wrapper modules hold the actual norm as ``GroupNorm_0``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import numpy as np
+
+from .checkpoint import t2j_conv2d, t2j_linear, unflatten_params
+
+Flat = dict
+
+
+# ---------------------------------------------------------------------------
+# emit helpers
+# ---------------------------------------------------------------------------
+
+
+def _conv(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    flat[f"{j}/kernel"] = t2j_conv2d(np.asarray(s[f"{t}.weight"]))
+    if f"{t}.bias" in s:
+        flat[f"{j}/bias"] = np.asarray(s[f"{t}.bias"])
+
+
+def _linear(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    flat[f"{j}/kernel"] = t2j_linear(np.asarray(s[f"{t}.weight"]))
+    if f"{t}.bias" in s:
+        flat[f"{j}/bias"] = np.asarray(s[f"{t}.bias"])
+
+
+def _norm(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """GroupNorm / LayerNorm / InstanceNorm affine params."""
+    flat[f"{j}/scale"] = np.asarray(s[f"{t}.weight"])
+    flat[f"{j}/bias"] = np.asarray(s[f"{t}.bias"])
+
+
+def _bn(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """BatchNorm → flax nn.BatchNorm (scale/bias + batch_stats handled by
+    caller: we fold running stats under the same flat key prefix with
+    'mean'/'var' so converters can split them)."""
+    flat[f"{j}/scale"] = np.asarray(s[f"{t}.weight"])
+    flat[f"{j}/bias"] = np.asarray(s[f"{t}.bias"])
+    flat[f"{j}@mean"] = np.asarray(s[f"{t}.running_mean"])
+    flat[f"{j}@var"] = np.asarray(s[f"{t}.running_var"])
+
+
+def _split_params_stats(flat: Flat):
+    """Split a flat dict with '@mean'/'@var' markers into
+    {'params': ..., 'batch_stats': ...} pytrees."""
+    params, stats = {}, {}
+    for k, v in flat.items():
+        if k.endswith("@mean"):
+            stats[k[: -len("@mean")] + "/mean"] = v
+        elif k.endswith("@var"):
+            stats[k[: -len("@var")] + "/var"] = v
+        else:
+            params[k] = v
+    out = {"params": unflatten_params(params)}
+    if stats:
+        out["batch_stats"] = unflatten_params(stats)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CodeFormer (guided_diffusion/codeformer.py:600-753)
+# ---------------------------------------------------------------------------
+
+
+def _cf_resblock(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    _norm(flat, s, f"{t}.norm1", f"{j}/norm1/GroupNorm_0")
+    _conv(flat, s, f"{t}.conv1", f"{j}/conv1")
+    _norm(flat, s, f"{t}.norm2", f"{j}/norm2/GroupNorm_0")
+    _conv(flat, s, f"{t}.conv2", f"{j}/conv2")
+    if f"{t}.conv_out.weight" in s:
+        _conv(flat, s, f"{t}.conv_out", f"{j}/conv_out")
+
+
+def _cf_attnblock(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    _norm(flat, s, f"{t}.norm", f"{j}/norm/GroupNorm_0")
+    for p in ("q", "k", "v", "proj_out"):
+        _conv(flat, s, f"{t}.{p}", f"{j}/{p}")
+
+
+def _cf_autoencoder(
+    flat: Flat,
+    s: Mapping,
+    *,
+    ch_mult: Sequence[int],
+    num_res_blocks: int,
+    resolution: int,
+    attn_resolutions: Sequence[int],
+) -> None:
+    """Encoder + generator + codebook of the VQAutoEncoder
+    (codeformer.py:244-354,357-434); block indices follow the reference's
+    nn.Sequential construction order."""
+    # --- encoder ---
+    idx = 0
+    _conv(flat, s, f"encoder.blocks.{idx}", "encoder/conv_in")
+    idx += 1
+    curr, li = resolution, 0
+    for i in range(len(ch_mult)):
+        for _ in range(num_res_blocks):
+            _cf_resblock(flat, s, f"encoder.blocks.{idx}", f"encoder/block{li}")
+            idx += 1
+            li += 1
+            if curr in attn_resolutions:
+                _cf_attnblock(flat, s, f"encoder.blocks.{idx}", f"encoder/attn{li}")
+                idx += 1
+                li += 1
+        if i != len(ch_mult) - 1:
+            _conv(flat, s, f"encoder.blocks.{idx}.conv", f"encoder/down{i}/conv")
+            idx += 1
+            curr //= 2
+    _cf_resblock(flat, s, f"encoder.blocks.{idx}", "encoder/mid_block1")
+    _cf_attnblock(flat, s, f"encoder.blocks.{idx + 1}", "encoder/mid_attn")
+    _cf_resblock(flat, s, f"encoder.blocks.{idx + 2}", "encoder/mid_block2")
+    _norm(flat, s, f"encoder.blocks.{idx + 3}", "encoder/norm_out/GroupNorm_0")
+    _conv(flat, s, f"encoder.blocks.{idx + 4}", "encoder/conv_out")
+
+    # --- codebook ---
+    flat["quantize/embedding"] = np.asarray(s["quantize.embedding.weight"])
+
+    # --- generator ---
+    idx = 0
+    _conv(flat, s, f"generator.blocks.{idx}", "generator/conv_in")
+    _cf_resblock(flat, s, f"generator.blocks.{idx + 1}", "generator/mid_block1")
+    _cf_attnblock(flat, s, f"generator.blocks.{idx + 2}", "generator/mid_attn")
+    _cf_resblock(flat, s, f"generator.blocks.{idx + 3}", "generator/mid_block2")
+    idx += 4
+    li = 0
+    curr = resolution // 2 ** (len(ch_mult) - 1)
+    for i in reversed(range(len(ch_mult))):
+        for _ in range(num_res_blocks):
+            _cf_resblock(flat, s, f"generator.blocks.{idx}", f"generator/block{li}")
+            idx += 1
+            li += 1
+            if curr in attn_resolutions:
+                _cf_attnblock(
+                    flat, s, f"generator.blocks.{idx}", f"generator/attn{li}"
+                )
+                idx += 1
+                li += 1
+        if i != 0:
+            _conv(flat, s, f"generator.blocks.{idx}.conv", f"generator/up{i}/conv")
+            idx += 1
+            curr *= 2
+    _norm(flat, s, f"generator.blocks.{idx}", "generator/norm_out/GroupNorm_0")
+    _conv(flat, s, f"generator.blocks.{idx + 1}", "generator/conv_out")
+
+
+def convert_codeformer(
+    s: Mapping[str, np.ndarray],
+    *,
+    nf: int = 64,
+    ch_mult: Sequence[int] = (1, 2, 2, 4, 4, 8),
+    num_res_blocks: int = 2,
+    resolution: int = 512,
+    attn_resolutions: Sequence[int] = (16,),
+    dim_embd: int = 512,
+    n_head: int = 8,
+    n_layers: int = 9,
+    codebook_size: int = 1024,
+    connect_list: Sequence[str] = ("32", "64", "128", "256"),
+):
+    """CodeFormer released checkpoint → flax variables
+    (codeformer.py:600-753; loaded at video_sample.py:351-359)."""
+    flat: Flat = {}
+    _cf_autoencoder(
+        flat, s,
+        ch_mult=ch_mult, num_res_blocks=num_res_blocks,
+        resolution=resolution, attn_resolutions=attn_resolutions,
+    )
+
+    flat["position_emb"] = np.asarray(s["position_emb"])
+    _linear(flat, s, "feat_emb", "feat_emb")
+
+    E, H = dim_embd, n_head
+    D = E // H
+    for i in range(n_layers):
+        t = f"ft_layers.{i}"
+        j = f"ft_layer{i}"
+        _norm(flat, s, f"{t}.norm1", f"{j}/norm1")
+        _norm(flat, s, f"{t}.norm2", f"{j}/norm2")
+        _linear(flat, s, f"{t}.linear1", f"{j}/linear1")
+        _linear(flat, s, f"{t}.linear2", f"{j}/linear2")
+        W = np.asarray(s[f"{t}.self_attn.in_proj_weight"])  # (3E, E)
+        b = np.asarray(s[f"{t}.self_attn.in_proj_bias"])    # (3E,)
+        for name, k in (("query", 0), ("key", 1), ("value", 2)):
+            flat[f"{j}/self_attn/{name}/kernel"] = (
+                W[k * E : (k + 1) * E].T.reshape(E, H, D)
+            )
+            flat[f"{j}/self_attn/{name}/bias"] = (
+                b[k * E : (k + 1) * E].reshape(H, D)
+            )
+        Wo = np.asarray(s[f"{t}.self_attn.out_proj.weight"])  # (E, E)
+        flat[f"{j}/self_attn/out/kernel"] = Wo.T.reshape(H, D, E)
+        flat[f"{j}/self_attn/out/bias"] = np.asarray(
+            s[f"{t}.self_attn.out_proj.bias"]
+        )
+
+    _norm(flat, s, "idx_pred_layer.0", "idx_norm")
+    flat["idx_pred/kernel"] = t2j_linear(np.asarray(s["idx_pred_layer.1.weight"]))
+
+    for f in connect_list:
+        t = f"fuse_convs_dict.{f}"
+        j = f"fuse_{f}"
+        _cf_resblock(flat, s, f"{t}.encode_enc", f"{j}/encode_enc")
+        _conv(flat, s, f"{t}.scale.0", f"{j}/scale_conv1")
+        _conv(flat, s, f"{t}.scale.2", f"{j}/scale_conv2")
+        _conv(flat, s, f"{t}.shift.0", f"{j}/shift_conv1")
+        _conv(flat, s, f"{t}.shift.2", f"{j}/shift_conv2")
+
+    return {"params": unflatten_params(flat)}
+
+
+# ---------------------------------------------------------------------------
+# ParseNet (facelib/parsing/parsenet.py:140-194)
+# ---------------------------------------------------------------------------
+
+
+def _pn_conv(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    _conv(flat, s, f"{t}.conv2d", f"{j}/conv")
+    if f"{t}.norm.norm.weight" in s:
+        _bn(flat, s, f"{t}.norm.norm", f"{j}/bn")
+
+
+def _pn_res(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    if f"{t}.shortcut_func.conv2d.weight" in s:
+        _pn_conv(flat, s, f"{t}.shortcut_func", f"{j}/shortcut")
+    _pn_conv(flat, s, f"{t}.conv1", f"{j}/conv1")
+    _pn_conv(flat, s, f"{t}.conv2", f"{j}/conv2")
+
+
+def convert_parsenet(
+    s: Mapping[str, np.ndarray],
+    *,
+    down_steps: int = 4,
+    up_steps: int = 4,
+    res_depth: int = 10,
+):
+    """ParseNet released checkpoint → flax variables with batch_stats
+    (parsenet.py:140-194; loaded at facelib/parsing/__init__.py:8-25)."""
+    flat: Flat = {}
+    _pn_conv(flat, s, "encoder.0", "enc_in")
+    for i in range(down_steps):
+        _pn_res(flat, s, f"encoder.{i + 1}", f"enc_{i}")
+    for i in range(res_depth):
+        _pn_res(flat, s, f"body.{i}", f"body_{i}")
+    for i in range(up_steps):
+        _pn_res(flat, s, f"decoder.{i}", f"dec_{i}")
+    _pn_conv(flat, s, "out_img_conv", "out_img_conv")
+    _pn_conv(flat, s, "out_mask_conv", "out_mask_conv")
+    return _split_params_stats(flat)
+
+
+# ---------------------------------------------------------------------------
+# SPyNet (mmedit basicvsr_net.SPyNet; owned by both UNets — the FLAIR
+# checkpoints embed it under a prefix, e.g. "spynet." in unet_new.py:985)
+# ---------------------------------------------------------------------------
+
+
+def convert_spynet(
+    s: Mapping[str, np.ndarray], *, prefix: str = "", levels: int = 6
+):
+    """mmedit SPyNet weights (6 pyramid levels × 5 convs) → flax params."""
+    flat: Flat = {}
+    for i in range(levels):
+        for j in range(5):
+            _conv(
+                flat, s,
+                f"{prefix}basic_module.{i}.basic_module.{j}.conv",
+                f"level{i}/conv{j}",
+            )
+    return {"params": unflatten_params(flat)}
+
+
+# ---------------------------------------------------------------------------
+# BicubicUNet (guided_diffusion/sr3.py:317-611, temporal blocks unet.py)
+# ---------------------------------------------------------------------------
+
+
+def _conv3d(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    from .checkpoint import t2j_conv3d
+
+    flat[f"{j}/kernel"] = t2j_conv3d(np.asarray(s[f"{t}.weight"]))
+    if f"{t}.bias" in s:
+        flat[f"{j}/bias"] = np.asarray(s[f"{t}.bias"])
+
+
+def _conv1x1_as_dense(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """torch 1×1 Conv2d → flax Dense (used by SR3 spatial attention)."""
+    w = np.asarray(s[f"{t}.weight"])[:, :, 0, 0]
+    flat[f"{j}/kernel"] = w.T
+    if f"{t}.bias" in s:
+        flat[f"{j}/bias"] = np.asarray(s[f"{t}.bias"])
+
+
+def _sr3_res_block(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """sr3.ResnetBlock (sr3.py:123-161): FeatureWiseAffine + Block×2 + skip."""
+    _linear(flat, s, f"{t}.noise_func.noise_func.0", f"{j}/noise_proj/Dense_0")
+    for b in ("block1", "block2"):
+        _norm(flat, s, f"{t}.{b}.block.0.wrapped_module", f"{j}/{b}/norm")
+        _conv(flat, s, f"{t}.{b}.block.3.wrapped_module", f"{j}/{b}/conv/Conv_0")
+    if f"{t}.res_conv.wrapped_module.weight" in s:
+        _conv(flat, s, f"{t}.res_conv.wrapped_module", f"{j}/res_conv/Conv_0")
+
+
+def _adm_res3d(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """ADM ResBlock with 3-D convs (unet.py:80-254) inside TemporalWrapper2."""
+    _norm(flat, s, f"{t}.in_layers.0.wrapped_module", f"{j}/in_norm")
+    _conv3d(flat, s, f"{t}.in_layers.2.wrapped_module", f"{j}/in_conv/Conv_0")
+    _linear(flat, s, f"{t}.emb_layers.1", f"{j}/emb_proj/Dense_0")
+    _norm(flat, s, f"{t}.out_layers.0.wrapped_module", f"{j}/out_norm")
+    _conv3d(flat, s, f"{t}.out_layers.3.wrapped_module", f"{j}/out_conv/Conv_0")
+
+
+def _temporal_attention(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """unet.TemporalAttention (unet.py:664-758)."""
+    for lin in ("q_linear", "k_linear", "v_linear"):
+        _linear(flat, s, f"{t}.{lin}", f"{j}/{lin}/Dense_0")
+    _conv(flat, s, f"{t}.proj.wrapped_module", f"{j}/proj")
+    _norm(flat, s, f"{t}.norm.wrapped_module", f"{j}/norm")
+
+
+def _vsrpp(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """unet.BasicVSRPP (unet.py:313-595) minus the shared SPyNet."""
+    for br in ("backward_1", "forward_1"):
+        ta, ja = f"{t}.deform_align.{br}", f"{j}/{br}/deform_align"
+        flat[f"{ja}/weight"] = t2j_conv2d(np.asarray(s[f"{ta}.weight"]))
+        flat[f"{ja}/bias"] = np.asarray(s[f"{ta}.bias"])
+        for k, src in enumerate((0, 2, 4)):
+            _conv(flat, s, f"{ta}.conv_offset.{src}", f"{ja}/offset_conv{k}")
+        _conv(flat, s, f"{ta}.conv_offset.6", f"{ja}/offset_out")
+        tb, jb = f"{t}.backbone.{br}", f"{j}/{br}/backbone"
+        _conv(flat, s, f"{tb}.main.0", f"{jb}/conv_in")
+        _conv(flat, s, f"{tb}.main.2.conv1", f"{jb}/block0/conv1")
+        _conv(flat, s, f"{tb}.main.2.conv2", f"{jb}/block0/conv2")
+    _conv(flat, s, f"{t}.reconstruction.main.0", f"{j}/reconstruction/conv_in")
+    _conv(flat, s, f"{t}.reconstruction.main.2.conv1",
+          f"{j}/reconstruction/block0/conv1")
+    _conv(flat, s, f"{t}.reconstruction.main.2.conv2",
+          f"{j}/reconstruction/block0/conv2")
+    _conv(flat, s, f"{t}.conv_last", f"{j}/conv_last")
+
+
+def _sr3_level_block(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """ResnetBlocWithAttn (sr3.py:229-314): res_block + optional gated
+    temporal modules; gates are TemporalWrapper2.emb_layers (sr3.py:203-226)."""
+    _sr3_res_block(flat, s, f"{t}.res_block", f"{j}/res_block")
+    if f"{t}.conv_3d.emb_layers.1.weight" in s:
+        _adm_res3d(flat, s, f"{t}.conv_3d.wrapped_module", f"{j}/conv_3d")
+        _linear(flat, s, f"{t}.conv_3d.emb_layers.1",
+                f"{j}/conv_3d_gate/gate/Dense_0")
+    if f"{t}.attn.qkv.wrapped_module.weight" in s:
+        _norm(flat, s, f"{t}.attn.norm.wrapped_module", f"{j}/attn/norm")
+        _conv1x1_as_dense(flat, s, f"{t}.attn.qkv.wrapped_module",
+                          f"{j}/attn/qkv")
+        _conv1x1_as_dense(flat, s, f"{t}.attn.out.wrapped_module",
+                          f"{j}/attn/out")
+    if f"{t}.temp_attn.emb_layers.1.weight" in s:
+        _temporal_attention(flat, s, f"{t}.temp_attn.wrapped_module",
+                            f"{j}/temp_attn")
+        _linear(flat, s, f"{t}.temp_attn.emb_layers.1",
+                f"{j}/temp_attn_gate/gate/Dense_0")
+    if f"{t}.vsrpp.emb_layers.1.weight" in s:
+        _vsrpp(flat, s, f"{t}.vsrpp.wrapped_module", f"{j}/vsrpp")
+        _linear(flat, s, f"{t}.vsrpp.emb_layers.1",
+                f"{j}/vsrpp_gate/gate/Dense_0")
+
+
+def convert_bicubic_unet(
+    s: Mapping[str, np.ndarray],
+    *,
+    channel_mults: Sequence[int] = (1, 2, 4, 8, 16),
+    res_blocks: int = 1,
+):
+    """FLAIR BicubicUNet checkpoint (flair_x8/x16_bicubic.pt) → flax params.
+
+    Walks the reference construction order (sr3.py:352-467): downs list =
+    [conv_in] + per-level res_blocks + Downsample; mid ×2; ups list with
+    Upsample; final Block. The shared SPyNet is hoisted to a single top-level
+    'spynet' (the torch state dict duplicates it under every vsrpp site).
+    """
+    flat: Flat = {}
+    _linear(flat, s, "noise_level_mlp.1", "mlp_in/Dense_0")
+    _linear(flat, s, "noise_level_mlp.3", "mlp_out/Dense_0")
+
+    num_mults = len(channel_mults)
+    idx = 0
+    _conv(flat, s, f"downs.{idx}.wrapped_module", "conv_in/Conv_0")
+    idx += 1
+    li = 0
+    for ind in range(num_mults):
+        for _ in range(res_blocks):
+            _sr3_level_block(flat, s, f"downs.{idx}", f"down_{li}")
+            idx += 1
+            li += 1
+        if ind != num_mults - 1:
+            _conv(flat, s, f"downs.{idx}.wrapped_module.conv",
+                  f"downsample_{ind}/Conv_0")
+            idx += 1
+
+    _sr3_level_block(flat, s, "mid.0", "mid_0")
+    _sr3_level_block(flat, s, "mid.1", "mid_1")
+
+    idx = 0
+    li = 0
+    for ind in reversed(range(num_mults)):
+        for _ in range(res_blocks + 1):
+            _sr3_level_block(flat, s, f"ups.{idx}", f"up_{li}")
+            idx += 1
+            li += 1
+        if ind >= 1:
+            _conv(flat, s, f"ups.{idx}.wrapped_module.conv",
+                  f"upsample_{ind}/Conv_0")
+            idx += 1
+
+    _norm(flat, s, "final_conv.block.0.wrapped_module", "final_norm")
+    _conv(flat, s, "final_conv.block.3.wrapped_module", "final_conv/Conv_0")
+
+    # shared SPyNet: hoist from the first vsrpp site that embeds it
+    spynet_prefix = None
+    for k in s:
+        pos = k.find(".spynet.basic_module.")
+        if pos != -1:
+            spynet_prefix = k[: pos + len(".spynet.")]
+            break
+    if spynet_prefix is not None:
+        sp = convert_spynet(s, prefix=spynet_prefix)["params"]
+        from .checkpoint import flatten_params
+
+        for k, v in flatten_params(sp).items():
+            flat[f"spynet/{k}"] = v
+
+    return {"params": unflatten_params(flat)}

@@ -1,0 +1,179 @@
+"""Weight-conversion parity: load the reference torch module with random
+weights, convert with flair_tpu.utils.convert, and compare full forward
+outputs (SURVEY.md §4 layer-2 parity strategy; reference load sites
+video_sample.py:327-359, facelib/*/__init__.py)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _import_reference(modname):
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import importlib
+
+    return importlib.import_module(modname)
+
+
+@pytest.mark.slow
+def test_codeformer_conversion_full_forward_parity():
+    """Reference CodeFormer (torch, random init) vs our flax CodeFormer with
+    converted weights: out / logits / lq_feat must agree (codeformer.py:
+    692-753 forward; fuse hooks at :659-675)."""
+    torch = pytest.importorskip("torch")
+    try:
+        ref_mod = _import_reference("guided_diffusion.codeformer")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    torch.manual_seed(0)
+    ref = ref_mod.CodeFormer(
+        dim_embd=512, n_head=8, n_layers=9, codebook_size=1024,
+        connect_list=["32", "64", "128", "256"],
+    ).eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from flair_tpu.models.codeformer import CodeFormer
+    from flair_tpu.utils.convert import convert_codeformer
+
+    variables = convert_codeformer(state)
+    model = CodeFormer()
+
+    x = np.random.RandomState(0).rand(1, 512, 512, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        t_out, t_logits, t_lq = ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), w=1.0, adain=True
+        )
+    j_out, j_logits, j_lq = model.apply(
+        variables, jnp.asarray(x), w=1.0, adain=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(j_lq), t_lq.numpy().transpose(0, 2, 3, 1), atol=2e-3,
+        err_msg="encoder latent mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_logits), t_logits.numpy(), atol=2e-2,
+        err_msg="transformer logits mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out), t_out.numpy().transpose(0, 2, 3, 1), atol=5e-2,
+        err_msg="generator output mismatch",
+    )
+
+
+@pytest.mark.slow
+def test_parsenet_conversion_full_forward_parity():
+    """Reference ParseNet (torch, random init + random BN stats) vs our flax
+    ParseNet with converted weights (parsenet.py:140-194)."""
+    torch = pytest.importorskip("torch")
+    try:
+        ref_mod = _import_reference("guided_diffusion.facelib.parsing.parsenet")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    torch.manual_seed(0)
+    ref = ref_mod.ParseNet(in_size=512, out_size=512, parsing_ch=19).eval()
+    # randomise BN running stats so the conversion of batch_stats is load-bearing
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    state = {
+        k: v.detach().numpy()
+        for k, v in ref.state_dict().items()
+        if "num_batches_tracked" not in k
+    }
+
+    from flair_tpu.models.parsenet import ParseNet
+    from flair_tpu.utils.convert import convert_parsenet
+
+    variables = convert_parsenet(state)
+    model = ParseNet()
+
+    x = np.random.RandomState(1).rand(1, 512, 512, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        t_mask, t_img = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_mask, j_img = model.apply(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(
+        np.asarray(j_mask), t_mask.numpy().transpose(0, 2, 3, 1), atol=2e-3,
+        err_msg="parse mask logits mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_img), t_img.numpy().transpose(0, 2, 3, 1), atol=2e-3,
+        err_msg="parse out_img mismatch",
+    )
+
+
+@pytest.mark.slow
+def test_bicubic_unet_conversion_full_forward_parity():
+    """Reference sr3.UNet (torch, random init, randomised zero-init gates so
+    the temporal paths are live) vs our BicubicUNet with converted weights:
+    full forward incl. 3-D conv, temporal attention and VSR++ with SPyNet
+    flows + deformable alignment (sr3.py:317-525, unet.py:313-758)."""
+    torch = pytest.importorskip("torch")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    torch.cuda.is_available = lambda: True  # unet.py:362 gates deform_align
+    try:
+        from guided_diffusion.sr3 import UNet as RefUNet
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    torch.manual_seed(0)
+    ref = RefUNet(
+        in_channel=6, out_channel=3, inner_channel=32, norm_groups=16,
+        channel_mults=(1, 2), attn_res=(32,), vsrpp_res=(64,),
+        spatial_attn=False, temporal_attn=True, res_blocks=1, dropout=0.0,
+        image_size=64, cross_frame_module=True, num_frames=3, head_dim=8,
+    ).eval()
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.05)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from flair_tpu.models.sr3 import BicubicUNet
+    from flair_tpu.utils.convert import convert_bicubic_unet
+
+    variables = convert_bicubic_unet(state, channel_mults=(1, 2), res_blocks=1)
+    model = BicubicUNet(
+        inner_channel=32, norm_groups=16, channel_mults=(1, 2), attn_res=(32,),
+        vsrpp_res=(64,), image_size=64, res_blocks=1, num_frames=3,
+        head_dim=8, temporal_attn=True, cross_frame_module=True,
+    )
+
+    b, t, s = 1, 3, 64
+    rs = np.random.RandomState(0)
+    x = rs.rand(b, t, s, s, 3).astype(np.float32) * 2 - 1
+    lr = rs.rand(b, t, s, s, 3).astype(np.float32) * 2 - 1
+    lvl = np.full((b * t,), 0.37, np.float32)
+
+    for cross, atol in ((False, 1e-4), (True, 2e-3)):
+        with torch.no_grad():
+            t_out = ref(
+                torch.from_numpy(x.reshape(b * t, s, s, 3).transpose(0, 3, 1, 2)),
+                torch.from_numpy(lvl),
+                low_res_input=torch.from_numpy(lr.transpose(0, 1, 4, 2, 3)),
+                num_frames=t, enable_cross_frames=cross,
+            )
+        j_out = model.apply(
+            variables, jnp.asarray(x), jnp.full((b, t), 0.37, jnp.float32),
+            jnp.asarray(lr), enable_cross_frames=cross,
+        )
+        t_np = t_out.numpy().reshape(b, t, 3, s, s).transpose(0, 1, 3, 4, 2)
+        np.testing.assert_allclose(
+            np.asarray(j_out), t_np, atol=atol,
+            err_msg=f"BicubicUNet forward mismatch (cross={cross})",
+        )
+        if cross:  # the temporal path must actually change the output
+            assert np.abs(t_np - prev).max() > 1e-2
+        prev = t_np
