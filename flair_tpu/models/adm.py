@@ -52,6 +52,9 @@ class BlurUNet(nn.Module):
     temporal_block: bool = True
     temporal_frames: int = 5
     deform_groups: int = 16
+    # gradient checkpointing per block (reference demo configs run with
+    # use_checkpoint=True, video_sample.py:134,154; nn_new.py checkpoint)
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -97,9 +100,22 @@ class BlurUNet(nn.Module):
                 bwd = spynet(l1, l2).reshape(b, t - 1, res, res, 2)
                 flows[res] = (fwd, bwd)
 
+        # remat wrappers: recompute block activations in the backward pass
+        # (512² trainability; enable flags/deterministic are trace-static)
+        if self.use_checkpoint:
+            RB = nn.remat(ResBlock, static_argnums=(3,))
+            AB = nn.remat(AttentionBlock)
+            ABB = nn.remat(AttentionBottleBlock)
+            TA = nn.remat(TemporalAttention)
+            VP = nn.remat(BasicVSRPP)
+        else:
+            RB, AB, ABB, TA, VP = (ResBlock, AttentionBlock,
+                                   AttentionBottleBlock, TemporalAttention,
+                                   BasicVSRPP)
+
         def maybe_temporal_res(h, name):
             if cross:
-                out = ResBlock(
+                out = RB(
                     h.shape[-1],
                     self.dropout,
                     use_scale_shift_norm=self.use_scale_shift_norm,
@@ -113,7 +129,7 @@ class BlurUNet(nn.Module):
         def maybe_attn(h, ds, name, bottleneck=False):
             if ds in self.attention_resolutions or bottleneck:
                 if bottleneck:
-                    h = AttentionBottleBlock(
+                    h = ABB(
                         h.shape[-1],
                         self.num_heads,
                         self.num_head_channels,
@@ -121,7 +137,7 @@ class BlurUNet(nn.Module):
                         name=name,
                     )(h, emb)
                 else:
-                    h = AttentionBlock(
+                    h = AB(
                         h.shape[-1],
                         self.num_heads,
                         self.num_head_channels,
@@ -129,7 +145,7 @@ class BlurUNet(nn.Module):
                         name=name,
                     )(h)
                 if cross:
-                    h = TemporalAttention(
+                    h = TA(
                         h.shape[-1],
                         num_frames=self.temporal_frames,
                         num_heads=self.num_heads,
@@ -143,7 +159,7 @@ class BlurUNet(nn.Module):
             if ds in self.rnn_resolutions and cross:
                 res = h.shape[2]
                 fwd, bwd = flows[res]
-                h = BasicVSRPP(
+                h = VP(
                     h.shape[-1], deform_groups=self.deform_groups,
                     dtype=self.dtype, name=name,
                 )(h, fwd, bwd, vsrpp_weights)
@@ -157,7 +173,7 @@ class BlurUNet(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             c = int(mult * mc)
             for i in range(self.num_res_blocks):
-                h = ResBlock(
+                h = RB(
                     c,
                     self.dropout,
                     use_scale_shift_norm=self.use_scale_shift_norm,
@@ -170,7 +186,7 @@ class BlurUNet(nn.Module):
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = ResBlock(
+                    h = RB(
                         c,
                         self.dropout,
                         use_scale_shift_norm=self.use_scale_shift_norm,
@@ -185,14 +201,14 @@ class BlurUNet(nn.Module):
                 ds *= 2
 
         # middle block (unet_new.py:1081-1134)
-        h = ResBlock(
+        h = RB(
             h.shape[-1], self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
             dtype=self.dtype, name="mid_res1",
         )(h, emb, deterministic)
         h = maybe_temporal_res(h, "mid_res3d_1")
         h = maybe_attn(h, ds, "mid_attn", bottleneck=True)
-        h = ResBlock(
+        h = RB(
             h.shape[-1], self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
             dtype=self.dtype, name="mid_res2",
@@ -203,7 +219,7 @@ class BlurUNet(nn.Module):
             c = int(mult * mc)
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(
+                h = RB(
                     c,
                     self.dropout,
                     use_scale_shift_norm=self.use_scale_shift_norm,
@@ -215,7 +231,7 @@ class BlurUNet(nn.Module):
                 h = maybe_vsrpp(h, ds, f"out_{level}_{i}_vsrpp")
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
-                        h = ResBlock(
+                        h = RB(
                             c,
                             self.dropout,
                             use_scale_shift_norm=self.use_scale_shift_norm,

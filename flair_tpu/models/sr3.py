@@ -117,6 +117,9 @@ class BicubicUNet(nn.Module):
     num_frames: int = 7
     head_dim: int = 64
     deform_groups: int = 16
+    # gradient checkpointing per level block (the reference runs all demo
+    # configs with use_checkpoint=True, video_sample.py:93; nn.py:884-930)
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -173,6 +176,15 @@ class BicubicUNet(nn.Module):
                 vsrpp=(res in self.vsrpp_res) and cross,
             )
 
+        # remat each level block: activations are recomputed in the backward
+        # pass, trading FLOPs for the memory that makes 512² training fit
+        # (enable_cross_frames / deterministic are trace-static)
+        LevelBlock = (
+            nn.remat(SR3LevelBlock, static_argnums=(5, 6))
+            if self.use_checkpoint
+            else SR3LevelBlock
+        )
+
         h = x.astype(self.dtype)
         h = Conv2d(self.inner_channel, 3, dtype=self.dtype, name="conv_in")(h)
         feats = [h]
@@ -183,7 +195,7 @@ class BicubicUNet(nn.Module):
             flags = level_flags(now_res)
             c = self.inner_channel * mult
             for _ in range(self.res_blocks):
-                h = SR3LevelBlock(
+                h = LevelBlock(
                     c,
                     self.norm_groups,
                     self.dropout,
@@ -209,7 +221,7 @@ class BicubicUNet(nn.Module):
                 now_res //= 2
 
         for mi in range(2):
-            h = SR3LevelBlock(
+            h = LevelBlock(
                 h.shape[-1],
                 self.norm_groups,
                 self.dropout,
@@ -229,7 +241,7 @@ class BicubicUNet(nn.Module):
             c = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks + 1):
                 h = jnp.concatenate([h, feats.pop()], axis=-1)
-                h = SR3LevelBlock(
+                h = LevelBlock(
                     c,
                     self.norm_groups,
                     self.dropout,

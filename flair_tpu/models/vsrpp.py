@@ -134,8 +134,11 @@ class SecondOrderDeformableAlignment(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        # value path runs in the module dtype (the reference runs the trunk —
+        # including deform_conv2d — in fp16, sr3.py:528-541); offsets/mask
+        # stay f32 and the coords are kept f32 inside the kernel
         y = modulated_deform_conv2d(
-            x.astype(jnp.float32), off, mask, weight, bias, padding=1
+            x.astype(self.dtype), off, mask, weight, bias, padding=1
         )
         return y.astype(x.dtype)
 

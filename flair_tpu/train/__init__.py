@@ -9,3 +9,9 @@ construction), loss-aware timestep resampling via lax collectives.
 """
 
 from .loop import TrainConfig, TrainState, create_train_state, make_train_step
+from .runner import (
+    TrainRunner,
+    find_resume_checkpoint,
+    interpolate_skipped_frames,
+    log_loss_quartiles,
+)

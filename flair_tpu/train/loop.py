@@ -109,6 +109,7 @@ def make_train_step(
 
         if cfg.microbatch in (-1, 0) or cfg.microbatch >= b:
             loss, terms, grads = one_micro(state.params, batch, t, rng)
+            loss_each = terms["loss"]
         else:
             # microbatch accumulation as a scan: one psum at the end, the
             # TPU equivalent of DDP no_sync (train_util.py:255-278)
@@ -131,13 +132,13 @@ def make_train_step(
                     jax.tree_util.tree_map(
                         lambda a, g: a + g / n_micro, acc_grads, grads
                     ),
-                ), None
+                ), terms["loss"]
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (loss, grads), _ = jax.lax.scan(
+            (loss, grads), loss_each = jax.lax.scan(
                 scan_body, (0.0, zero_grads), (micro_batches, t_m, rngs)
             )
-            terms = {}
+            loss_each = loss_each.reshape(b)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -149,6 +150,10 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
             "param_norm": optax.global_norm(new_params),
+            # per-sample loss + timestep for quartile logging
+            # (train_util.py:359-365)
+            "loss_each": loss_each,
+            "t": t,
         }
         new_state = state.replace(
             step=state.step + 1,
