@@ -82,7 +82,23 @@ def build_model(task: str, checkpoint: str | None, *, dtype=None):
 
         params = load_params(checkpoint, model, init_args)
     else:
-        params = model.init(jax.random.PRNGKey(0), *init_args)
+        # no weights: materialise shape-correct random params WITHOUT
+        # compiling a full 512² init forward (eval_shape is trace-only; a
+        # real model.init costs minutes of XLA compile at this size)
+        import numpy as np
+
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *init_args)
+        rng = np.random.default_rng(0)
+
+        def make(s):
+            if s.shape and s.shape[-1] != 0 and "float" in str(s.dtype):
+                return jnp.asarray(
+                    rng.standard_normal(s.shape, dtype=np.float32) * 0.02,
+                    s.dtype,
+                )
+            return jnp.zeros(s.shape, s.dtype)
+
+        params = jax.tree_util.tree_map(make, shapes)
     return model, params
 
 

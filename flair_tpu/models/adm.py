@@ -52,6 +52,7 @@ class BlurUNet(nn.Module):
     temporal_block: bool = True
     temporal_frames: int = 5
     deform_groups: int = 16
+    dcn_patch_size: object = "auto"
     # gradient checkpointing per block (reference demo configs run with
     # use_checkpoint=True, video_sample.py:134,154; nn_new.py checkpoint)
     use_checkpoint: bool = False
@@ -161,6 +162,7 @@ class BlurUNet(nn.Module):
                 fwd, bwd = flows[res]
                 h = VP(
                     h.shape[-1], deform_groups=self.deform_groups,
+                    dcn_patch_size=self.dcn_patch_size,
                     dtype=self.dtype, name=name,
                 )(h, fwd, bwd, vsrpp_weights)
             return h

@@ -48,6 +48,7 @@ class SR3LevelBlock(nn.Module):
     num_frames: int
     head_dim: int
     deform_groups: int = 16
+    dcn_patch_size: object = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,6 +91,7 @@ class SR3LevelBlock(nn.Module):
             out = BasicVSRPP(
                 c, max_residue_magnitude=5.0,
                 deform_groups=self.deform_groups,
+                dcn_patch_size=self.dcn_patch_size,
                 dtype=self.dtype, name="vsrpp",
             )(x, fwd, bwd, vsrpp_weights)
             x = TemporalWrapper2(c, dtype=self.dtype, name="vsrpp_gate")(x, out, emb)
@@ -117,6 +119,7 @@ class BicubicUNet(nn.Module):
     num_frames: int = 7
     head_dim: int = 64
     deform_groups: int = 16
+    dcn_patch_size: object = "auto"
     # gradient checkpointing per level block (the reference runs all demo
     # configs with use_checkpoint=True, video_sample.py:93; nn.py:884-930)
     use_checkpoint: bool = False
@@ -206,6 +209,7 @@ class BicubicUNet(nn.Module):
                     num_frames=self.num_frames,
                     head_dim=self.head_dim,
                     deform_groups=self.deform_groups,
+                    dcn_patch_size=self.dcn_patch_size,
                     dtype=self.dtype,
                     name=f"down_{li}",
                 )(
@@ -252,6 +256,7 @@ class BicubicUNet(nn.Module):
                     num_frames=self.num_frames,
                     head_dim=self.head_dim,
                     deform_groups=self.deform_groups,
+                    dcn_patch_size=self.dcn_patch_size,
                     dtype=self.dtype,
                     name=f"up_{li}",
                 )(

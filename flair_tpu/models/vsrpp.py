@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.deform import modulated_deform_conv2d
+from ..ops.deform import deform_conv2d_patch, modulated_deform_conv2d
 from ..ops.warp import flow_warp
 from .common import leaky_relu
 from .registry import register_model
@@ -87,7 +87,20 @@ class SecondOrderDeformableAlignment(nn.Module):
     features: int  # C (output channels)
     deform_groups: int = 16
     max_residue_magnitude: float = 10.0
+    # flow-anchored patch sampling (ops/deform.deform_conv2d_patch):
+    #   None   -> exact per-sample gather path (slow on TPU; parity mode)
+    #   "auto" -> patch 2*ceil(M)+4 capped at 16: unconditionally exact when
+    #             M <= 6 (the SR3 UNet uses M=5), else exact for |residue|<=6
+    #   int    -> explicit patch size
+    dcn_patch_size: Any = "auto"
     dtype: Any = jnp.float32
+
+    def _patch_size(self) -> Optional[int]:
+        if self.dcn_patch_size == "auto":
+            import math
+
+            return min(2 * math.ceil(self.max_residue_magnitude) + 4, 16)
+        return self.dcn_patch_size
 
     @nn.compact
     def __call__(
@@ -137,9 +150,25 @@ class SecondOrderDeformableAlignment(nn.Module):
         # value path runs in the module dtype (the reference runs the trunk —
         # including deform_conv2d — in fp16, sr3.py:528-541); offsets/mask
         # stay f32 and the coords are kept f32 inside the kernel
-        y = modulated_deform_conv2d(
-            x.astype(self.dtype), off, mask, weight, bias, padding=1
-        )
+        ps = self._patch_size()
+        if ps is not None:
+            # fast path: one (ps,ps,C/2) patch per (pixel, flow half) anchored
+            # at floor(flow) covers all taps' bilinear corners (PERF.md)
+            anchor = jnp.stack(
+                [
+                    jnp.stack([flow_1[..., 1], flow_1[..., 0]], axis=-1),
+                    jnp.stack([flow_2[..., 1], flow_2[..., 0]], axis=-1),
+                ],
+                axis=3,
+            ).astype(jnp.float32)  # (B,H,W,2,2) in (dy,dx)
+            y = deform_conv2d_patch(
+                x.astype(self.dtype), anchor, off, weight, bias,
+                mask=mask, patch_size=ps,
+            )
+        else:
+            y = modulated_deform_conv2d(
+                x.astype(self.dtype), off, mask, weight, bias, padding=1
+            )
         return y.astype(x.dtype)
 
 
@@ -149,6 +178,7 @@ class _PropStep(nn.Module):
     features: int
     max_residue_magnitude: float
     deform_groups: int = 16
+    dcn_patch_size: Any = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -169,6 +199,7 @@ class _PropStep(nn.Module):
             c,
             deform_groups=self.deform_groups,
             max_residue_magnitude=self.max_residue_magnitude,
+            dcn_patch_size=self.dcn_patch_size,
             dtype=self.dtype,
             name="deform_align",
         )(packed, cond, flow_n1, flow_n2)
@@ -198,6 +229,7 @@ class BasicVSRPP(nn.Module):
     features: int
     max_residue_magnitude: float = 10.0
     deform_groups: int = 16
+    dcn_patch_size: Any = "auto"  # see SecondOrderDeformableAlignment
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -255,6 +287,7 @@ class BasicVSRPP(nn.Module):
             self.features,
             self.max_residue_magnitude,
             self.deform_groups,
+            self.dcn_patch_size,
             self.dtype,
             name="backward_1",
         )(init, (feats_rev, extra_empty, fb_n1, fb_n2, w_rev, idxs))
@@ -271,6 +304,7 @@ class BasicVSRPP(nn.Module):
             self.features,
             self.max_residue_magnitude,
             self.deform_groups,
+            self.dcn_patch_size,
             self.dtype,
             name="forward_1",
         )(init, (feats_fwd, extra_fwd, ff_n1, ff_n2, w_fwd, idxs))

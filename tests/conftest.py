@@ -21,6 +21,16 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: XLA:CPU compiles dominate this suite's
+# runtime on the 1-core host; cache them across runs (driver re-runs the
+# suite every round). Cache keys include platform/flags so this cannot
+# collide with the TPU bench cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 

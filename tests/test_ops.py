@@ -552,3 +552,60 @@ def test_deform_conv2d_zero_offset_equals_conv():
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# flow-anchored patch DCN (ops/deform.deform_conv2d_patch)
+# ---------------------------------------------------------------------------
+
+
+def test_deform_patch_matches_gather():
+    """Patch path == exact gather path to f32 roundoff whenever residues fit
+    the patch (bound: |residue| <= ps/2 - 2), including large flows that move
+    the anchor across / beyond the image boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    from flair_tpu.ops.deform import deform_conv2d, deform_conv2d_patch
+
+    B, H, G, K, CIN, COUT = 1, 16, 4, 9, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (B, H, H, CIN), jnp.float32)
+    wt = jax.random.normal(ks[4], (3, 3, CIN, COUT), jnp.float32) * 0.2
+    bias = jax.random.normal(ks[5], (COUT,), jnp.float32) * 0.1
+    mask = jax.nn.sigmoid(jax.random.normal(ks[3], (B, H, H, G, K), jnp.float32))
+
+    for flow_scale, ps, res_bound in ((2.0, 8, 1.5), (40.0, 12, 3.5)):
+        flow = jax.random.uniform(ks[1], (B, H, H, 2, 2), jnp.float32,
+                                  -flow_scale, flow_scale)
+        res = jax.random.uniform(ks[2], (B, H, H, G, K, 2), jnp.float32,
+                                 -res_bound, res_bound)
+        off = jnp.repeat(flow, G // 2, axis=3)[:, :, :, :, None, :] + res
+        a = deform_conv2d(x, off, wt, bias, mask=mask, padding=1)
+        b = deform_conv2d_patch(x, flow, off, wt, bias, mask=mask,
+                                patch_size=ps)
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_vsrpp_patch_mode_matches_gather_mode():
+    """BasicVSRPP(dcn_patch_size='auto') == dcn_patch_size=None with shared
+    params (auto patch covers the full tanh residue range for M <= 6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flair_tpu.models.vsrpp import BasicVSRPP
+
+    b, t, h, w, c = 1, 3, 16, 16, 8
+    hid = jax.random.normal(jax.random.PRNGKey(0), (b, t, h, w, c))
+    ff = jax.random.uniform(jax.random.PRNGKey(1), (b, t - 1, h, w, 2),
+                            minval=-2, maxval=2)
+    fb = jax.random.uniform(jax.random.PRNGKey(2), (b, t - 1, h, w, 2),
+                            minval=-2, maxval=2)
+    m_fast = BasicVSRPP(c, max_residue_magnitude=5.0, deform_groups=2,
+                        dcn_patch_size="auto")
+    m_exact = BasicVSRPP(c, max_residue_magnitude=5.0, deform_groups=2,
+                         dcn_patch_size=None)
+    params = m_fast.init(jax.random.PRNGKey(3), hid, ff, fb)
+    o1 = m_fast.apply(params, hid, ff, fb)
+    o2 = m_exact.apply(params, hid, ff, fb)
+    assert float(jnp.abs(o1 - o2).max()) < 1e-5
