@@ -446,3 +446,138 @@ def convert_bicubic_unet(
             flat[f"spynet/{k}"] = v
 
     return {"params": unflatten_params(flat)}
+
+
+# ---------------------------------------------------------------------------
+# BlurUNet (guided_diffusion/unet_new.py:901-1362)
+# ---------------------------------------------------------------------------
+
+
+def _adm_resblock(flat: Flat, s: Mapping, t: str, j: str, dims: int = 2) -> None:
+    """unet_new.ResBlock (unet_new.py:198-330): in/emb/out layers + optional
+    1×1 skip; convs are wrapped in LazyReshaper{2,3}D either way."""
+    _norm(flat, s, f"{t}.in_layers.0.wrapped_module", f"{j}/in_norm")
+    cv = _conv3d if dims == 3 else _conv
+    cv(flat, s, f"{t}.in_layers.2.wrapped_module", f"{j}/in_conv/Conv_0")
+    _linear(flat, s, f"{t}.emb_layers.1", f"{j}/emb_proj/Dense_0")
+    _norm(flat, s, f"{t}.out_layers.0.wrapped_module", f"{j}/out_norm")
+    cv(flat, s, f"{t}.out_layers.3.wrapped_module", f"{j}/out_conv/Conv_0")
+    if f"{t}.skip_connection.wrapped_module.weight" in s:
+        cv(flat, s, f"{t}.skip_connection.wrapped_module", f"{j}/skip/Conv_0")
+
+
+def _adm_attention(flat: Flat, s: Mapping, t: str, j: str,
+                   bottleneck: bool = False) -> None:
+    """unet_new.AttentionBlock / AttentionbottleBlock (unet_new.py:332-429):
+    qkv/proj_out are 1-D convs → flax Dense."""
+    _norm(flat, s, f"{t}.norm.wrapped_module", f"{j}/norm")
+    w = np.asarray(s[f"{t}.qkv.weight"])[:, :, 0]
+    flat[f"{j}/qkv/Dense_0/kernel"] = w.T
+    flat[f"{j}/qkv/Dense_0/bias"] = np.asarray(s[f"{t}.qkv.bias"])
+    w = np.asarray(s[f"{t}.proj_out.weight"])[:, :, 0]
+    flat[f"{j}/proj/Dense_0/kernel"] = w.T
+    flat[f"{j}/proj/Dense_0/bias"] = np.asarray(s[f"{t}.proj_out.bias"])
+    if bottleneck:
+        _linear(flat, s, f"{t}.emb_layers.1", f"{j}/emb_proj/Dense_0")
+
+
+def convert_blur_unet(
+    s: Mapping[str, np.ndarray],
+    *,
+    channel_mult: Sequence[float] = (0.5, 1, 1, 2, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_ds: Sequence[int] = (16, 32, 64),
+    rnn_ds: Sequence[int] = (1, 2),
+    temporal_block: bool = True,
+) -> dict:
+    """FLAIR BlurUNet checkpoint (flair_gaussian/jpeg.pt) → flax params.
+
+    Walks the reference construction order (unet_new.py:988-1216):
+    input_blocks = [conv] + per-level (res [+res3d] [+attn [+tattn]]
+    [+vsrpp]) + down; middle_block fixed 6-layer list; output_blocks with
+    trailing up-ResBlock; `out` head. The UNet-owned SPyNet converts to the
+    top-level 'spynet' collection (unet_new.py:985).
+    """
+    flat: Flat = {}
+    _linear(flat, s, "time_embed.0", "time_embed_0/Dense_0")
+    _linear(flat, s, "time_embed.2", "time_embed_1/Dense_0")
+    _conv(flat, s, "input_blocks.0.0.wrapped_module", "conv_in/Conv_0")
+
+    def level_layers(bi: str, j_prefix: str, ds: int) -> None:
+        """Convert one (res [+res3d] [+attn [+tattn]] [+vsrpp]) entry."""
+        li = 0
+        _adm_resblock(flat, s, f"{bi}.{li}", f"{j_prefix}_res")
+        li += 1
+        if temporal_block:
+            _adm_resblock(flat, s, f"{bi}.{li}.wrapped_module",
+                          f"{j_prefix}_res3d", dims=3)
+            li += 1
+        if ds in attention_ds:
+            _adm_attention(flat, s, f"{bi}.{li}", f"{j_prefix}_attn")
+            li += 1
+            if temporal_block:
+                _temporal_attention(flat, s, f"{bi}.{li}.wrapped_module",
+                                    f"{j_prefix}_attn_temporal")
+                li += 1
+        if ds in rnn_ds and temporal_block:
+            _vsrpp(flat, s, f"{bi}.{li}.wrapped_module", f"{j_prefix}_vsrpp")
+            li += 1
+
+    idx = 1
+    ds = 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            level_layers(f"input_blocks.{idx}", f"in_{level}_{i}", ds)
+            idx += 1
+        if level != len(channel_mult) - 1:
+            _adm_resblock(flat, s, f"input_blocks.{idx}.0",
+                          f"in_{level}_down")
+            idx += 1
+            ds *= 2
+
+    # middle_block: res, [res3d], bottle-attn, [tattn], res, [res3d]
+    mi = 0
+    _adm_resblock(flat, s, f"middle_block.{mi}", "mid_res1"); mi += 1
+    if temporal_block:
+        _adm_resblock(flat, s, f"middle_block.{mi}.wrapped_module",
+                      "mid_res3d_1", dims=3)
+        mi += 1
+    _adm_attention(flat, s, f"middle_block.{mi}", "mid_attn",
+                   bottleneck=True)
+    mi += 1
+    if temporal_block:
+        _temporal_attention(flat, s, f"middle_block.{mi}.wrapped_module",
+                            "mid_attn_temporal")
+        mi += 1
+    _adm_resblock(flat, s, f"middle_block.{mi}", "mid_res2"); mi += 1
+    if temporal_block:
+        _adm_resblock(flat, s, f"middle_block.{mi}.wrapped_module",
+                      "mid_res3d_2", dims=3)
+        mi += 1
+
+    idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            bi = f"output_blocks.{idx}"
+            level_layers(bi, f"out_{level}_{i}", ds)
+            if level and i == num_res_blocks:
+                # trailing up-ResBlock is the entry's last layer
+                last = 1
+                if temporal_block:
+                    last += 1
+                if ds in attention_ds:
+                    last += 1 + (1 if temporal_block else 0)
+                if ds in rnn_ds and temporal_block:
+                    last += 1
+                _adm_resblock(flat, s, f"{bi}.{last}", f"out_{level}_up")
+                ds //= 2
+            idx += 1
+
+    _norm(flat, s, "out.0.wrapped_module", "out_norm")
+    _conv(flat, s, "out.2.wrapped_module", "out_conv/Conv_0")
+
+    variables = {"params": unflatten_params(flat)}
+    if any(k.startswith("spynet.") for k in s):
+        sp = convert_spynet(s, prefix="spynet.")["params"]
+        variables["params"]["spynet"] = sp
+    return variables

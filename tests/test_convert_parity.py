@@ -177,3 +177,79 @@ def test_bicubic_unet_conversion_full_forward_parity():
         if cross:  # the temporal path must actually change the output
             assert np.abs(t_np - prev).max() > 1e-2
         prev = t_np
+
+
+@pytest.mark.slow
+def test_blur_unet_conversion_full_forward_parity():
+    """Reference unet_new.UNetModel (torch, random init, zero-init params
+    randomised so attention projections / VSR++ are live) vs our BlurUNet
+    with converted weights (unet_new.py:901-1362 construction,
+    video_sample.py MODEL_CONFIG shape family scaled down)."""
+    torch = pytest.importorskip("torch")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    torch.cuda.is_available = lambda: True
+    try:
+        from guided_diffusion.unet_new import UNetModel as RefUNet
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    b, t, s = 1, 3, 32
+    torch.manual_seed(0)
+    ref = RefUNet(
+        image_size=s, in_channels=6, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), rnn_resolutions=(1,),
+        channel_mult=(1, 2), num_heads=1, num_head_channels=8,
+        use_scale_shift_norm=True, resblock_updown=True, temporal_block=True,
+    ).eval()
+    # the reference hardcodes emb_layers=linear(512,512) in
+    # AttentionbottleBlock (unet_new.py:399), valid only at
+    # model_channels=128; re-size it for the scaled-down test config
+    ref.middle_block[2].emb_layers[1] = torch.nn.Linear(128, 64)
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.05)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from flair_tpu.models.adm import BlurUNet
+    from flair_tpu.utils.convert import convert_blur_unet
+
+    variables = convert_blur_unet(
+        state, channel_mult=(1, 2), num_res_blocks=1,
+        attention_ds=(2,), rnn_ds=(1,),
+    )
+    model = BlurUNet(
+        image_size=s, in_channels=6, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), rnn_resolutions=(1,),
+        channel_mult=(1, 2), num_heads=1, num_head_channels=8,
+        use_scale_shift_norm=True, resblock_updown=True, temporal_block=True,
+        temporal_frames=5,
+    )
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(b, t, s, s, 3).astype(np.float32) * 2 - 1
+    lr = rs.rand(b, t, s, s, 3).astype(np.float32) * 2 - 1
+    ts = np.full((b * t,), 7, np.int64)
+
+    for cross, atol in ((False, 1e-4), (True, 2e-3)):
+        with torch.no_grad():
+            t_out = ref(
+                torch.from_numpy(x.reshape(b * t, s, s, 3).transpose(0, 3, 1, 2)),
+                torch.from_numpy(ts),
+                low_res_input=torch.from_numpy(lr.transpose(0, 1, 4, 2, 3)),
+                num_frames=t, enable_cross_frames=cross,
+            )
+        j_out = model.apply(
+            variables, jnp.asarray(x), jnp.full((b, t), 7, jnp.int32),
+            jnp.asarray(lr), enable_cross_frames=cross,
+        )
+        t_np = t_out.numpy().reshape(b, t, 6, s, s).transpose(0, 1, 3, 4, 2)
+        np.testing.assert_allclose(
+            np.asarray(j_out), t_np, atol=atol,
+            err_msg=f"BlurUNet forward mismatch (cross={cross})",
+        )
+        if cross:
+            assert np.abs(t_np - prev).max() > 1e-3
+        prev = t_np
