@@ -253,3 +253,150 @@ def test_blur_unet_conversion_full_forward_parity():
         if cross:
             assert np.abs(t_np - prev).max() > 1e-3
         prev = t_np
+
+
+@pytest.mark.slow
+def test_restore_video_agrees_with_reference_sampler():
+    """End-to-end numeric agreement: restore_video (window loop + q_sample
+    init + SRConv data consistency + guided update + prev_recon chaining)
+    vs a faithful replication of the reference demo driver running the
+    reference's OWN SpacedDiffusion.sample and SRConv
+    (scripts/video_sample.py:361-487, gaussian_diffusion.py:423-689).
+    Deterministic: rho=0 kills the in-loop noise and both RNGs are stubbed
+    to zeros for the q_sample init. Same stub denoiser on both sides."""
+    torch = pytest.importorskip("torch")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    try:
+        gd = _import_reference("guided_diffusion.gaussian_diffusion")
+        rsp = _import_reference("guided_diffusion.respace")
+        ru = _import_reference("guided_diffusion.restore_util")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    size, factor, T, WIN, OV, steps = 32, 8, 6, 4, 1, 5
+    rs = np.random.RandomState(0)
+    degraded01 = rs.rand(T, size // factor, size // factor, 3).astype(np.float32)
+
+    # ---- reference driver -------------------------------------------------
+    import torchvision.transforms.functional as VF
+
+    dcfg = dict(
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.FIXED_SMALL,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+    )
+    betas = gd.get_named_beta_schedule("face_bicubic", 2000)
+    ref_d = rsp.SpacedDiffusion(
+        use_timesteps=rsp.space_timesteps(2000, str(steps)), betas=betas, **dcfg
+    )
+
+    def bicubic_kernel(x, a=-0.5):
+        if abs(x) <= 1:
+            return (a + 2) * abs(x) ** 3 - (a + 3) * abs(x) ** 2 + 1
+        if 1 < abs(x) < 2:
+            return a * abs(x) ** 3 - 5 * a * abs(x) ** 2 + 8 * a * abs(x) - 4 * a
+        return 0
+
+    k = np.zeros(factor * 4)
+    for i in range(factor * 4):
+        k[i] = bicubic_kernel((1 / factor) * (i - np.floor(factor * 4 / 2) + 0.5))
+    k = k / k.sum()
+    A = ru.SRConv(torch.from_numpy(k).float(), 3, size, torch.device("cpu"),
+                  stride=factor)
+
+    class StubModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            # the reference loop reads next(model.parameters()).device
+            self.dummy = torch.nn.Parameter(torch.zeros(1))
+
+        def forward(self, x, lvl, **kwargs):
+            return -0.1 * x[:, :3]
+
+    w, rho, zeta, tau = 0.85, 0.0, -1, 0
+    dg = torch.from_numpy(degraded01.transpose(0, 3, 1, 2))[None]  # (1,T,3,h,w)
+    randn_orig = torch.randn
+    torch.randn = lambda *a, **kw: torch.zeros(*a, **{k_: v for k_, v in kw.items() if k_ != "generator"})
+    torch.randn_like = lambda x: torch.zeros_like(x)
+    try:
+        from flair_tpu.pipeline.video import window_slices
+
+        prev = None
+        rec = []
+        for idx, length in window_slices(T, WIN, OV):
+            sl = dg[:, idx : idx + length]
+            init = VF.resize(sl.squeeze(0), (size, size),
+                             VF.InterpolationMode.BICUBIC).clamp(0, 1)[None]
+            sl_pm = (sl - 0.5) / 0.5
+            init_pm = (init - 0.5) / 0.5
+            noise = ref_d.q_sample(
+                init_pm.reshape(length, 3, size, size),
+                torch.full((length,), ref_d.num_timesteps - 1, dtype=torch.long),
+            )
+            mk = {"low_res_input": init_pm, "num_frames": length,
+                  "rnn_input": init_pm}
+            rfn = lambda x: A.A_pinv(
+                A.A(x.reshape(x.shape[0], -1))
+                - sl_pm.reshape(x.shape[0], -1)
+            ).reshape(*x.size())
+            with torch.no_grad():
+                # the reference cannot run aux_model=None (start_timestep
+                # unbound at gaussian_diffusion.py:680); an identity aux with
+                # aligned=True is a mathematical no-op: w*x0+(1-w)*x0 = x0
+                out = ref_d.sample(
+                    StubModel(), noise, model_kwargs=mk, restore_fn=rfn,
+                    face_restore_helper=None,
+                    aux_model=lambda x0, t, xt: x0, post_fn=None,
+                    clip_denoised=True, sample_mode="ddpm", w=w, tau=tau,
+                    rho=rho, noise_level=0.0, prev_recon=prev, zeta=zeta,
+                    t_start=-1, aligned=True,
+                )
+            out = out.reshape(1, length, 3, size, size)
+            if prev is not None:
+                out = out[:, OV:]
+            prev = out[:, -OV:].clone()
+            rec.append(((out.clamp(-1, 1) + 1) / 2).numpy())
+        ref_out = np.concatenate(rec, 1)[0].transpose(0, 2, 3, 1)
+    finally:
+        torch.randn = randn_orig
+        del torch.randn_like
+
+    # ---- our pipeline -----------------------------------------------------
+    import jax as _jax
+
+    from flair_tpu.diffusion import GuidanceConfig
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=size, steps=str(steps),
+        w=w, rho=rho, zeta=zeta, tau=tau, noise_level=0.0,
+        vsrpp_bg_weight=0.0,
+    )
+
+    def model_apply(x, t, low_res, rnn_input, vsrpp_weights):
+        return -0.1 * x
+
+    normal_orig = _jax.random.normal
+
+    def zeros_normal(key, shape=None, dtype=jnp.float32):
+        return jnp.zeros(shape if shape is not None else (), dtype)
+
+    _jax.random.normal = zeros_normal
+    try:
+        ours = restore_video(
+            degraded01, cfg, model_apply,
+            guidance=GuidanceConfig(use_aux=False, w=w, rho=rho, tau=tau,
+                                    zeta=zeta, noise_level=0.0),
+            win=WIN, overlap=OV,
+        )
+    finally:
+        _jax.random.normal = normal_orig
+
+    assert ours.shape == ref_out.shape == (T, size, size, 3)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-3,
+                               err_msg="pipeline output diverges from the "
+                                       "reference sampler")
