@@ -581,3 +581,70 @@ def convert_blur_unet(
         sp = convert_spynet(s, prefix="spynet.")["params"]
         variables["params"]["spynet"] = sp
     return variables
+
+
+# ---------------------------------------------------------------------------
+# RetinaFace (facelib/detection/retinaface/{retinaface,retinaface_net}.py)
+# ---------------------------------------------------------------------------
+
+
+def _cbn(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """conv_bn/conv_bn1X1/conv_bn_no_relu Sequential(conv, bn[, leaky]) →
+    our ConvBNLeaky child 'cb' (ConvBN with conv/bn)."""
+    flat[f"{j}/cb/conv/kernel"] = t2j_conv2d(np.asarray(s[f"{t}.0.weight"]))
+    _bn(flat, s, f"{t}.1", f"{j}/cb/bn")
+
+
+def convert_retinaface(s: Mapping[str, np.ndarray], *,
+                       network: str = "resnet50") -> dict:
+    """RetinaFace detector weights (detection_Resnet50_Final.pth /
+    detection_mobilenet0.25_Final.pth, facelib/detection/__init__.py:25-48)
+    → flax variables {'params', 'batch_stats'}."""
+    flat: Flat = {}
+
+    if network == "resnet50":
+        # torchvision resnet50 body via IntermediateLayerGetter
+        flat["body/conv1/kernel"] = t2j_conv2d(np.asarray(s["body.conv1.weight"]))
+        _bn(flat, s, "body.bn1", "body/bn1")
+        for li, n in enumerate((3, 4, 6, 3)):
+            for bi in range(n):
+                t = f"body.layer{li + 1}.{bi}"
+                j = f"body/layer{li + 1}_{bi}"
+                for ci in (1, 2, 3):
+                    flat[f"{j}/c{ci}/conv/kernel"] = t2j_conv2d(
+                        np.asarray(s[f"{t}.conv{ci}.weight"]))
+                    _bn(flat, s, f"{t}.bn{ci}", f"{j}/c{ci}/bn")
+                if f"{t}.downsample.0.weight" in s:
+                    flat[f"{j}/downsample/conv/kernel"] = t2j_conv2d(
+                        np.asarray(s[f"{t}.downsample.0.weight"]))
+                    _bn(flat, s, f"{t}.downsample.1", f"{j}/downsample/bn")
+    else:
+        # MobileNet-0.25 body: stage1 (6 entries), stage2 (6), stage3 (2);
+        # entry 0 of stage1 is conv_bn, the rest conv_dw(Sequential of 6)
+        names = (
+            [("body.stage1.0", "body/s1_0", "cbn")]
+            + [(f"body.stage1.{i}", f"body/s1_{i}", "dw") for i in range(1, 6)]
+            + [(f"body.stage2.{i}", f"body/s2_{i}", "dw") for i in range(6)]
+            + [(f"body.stage3.{i}", f"body/s3_{i}", "dw") for i in range(2)]
+        )
+        for t, j, kind in names:
+            if kind == "cbn":
+                _cbn(flat, s, t, j)
+            else:
+                flat[f"{j}_dw/kernel"] = t2j_conv2d(np.asarray(s[f"{t}.0.weight"]))
+                _bn(flat, s, f"{t}.1", f"{j}_dwbn")
+                flat[f"{j}_pw/kernel"] = t2j_conv2d(np.asarray(s[f"{t}.3.weight"]))
+                _bn(flat, s, f"{t}.4", f"{j}_pwbn")
+
+    for name in ("output1", "output2", "output3", "merge1", "merge2"):
+        _cbn(flat, s, f"fpn.{name}", f"fpn/{name}")
+    for si in (1, 2, 3):
+        for cname in ("conv3X3", "conv5X5_1", "conv5X5_2",
+                      "conv7X7_2", "conv7x7_3"):
+            _cbn(flat, s, f"ssh{si}.{cname}", f"ssh{si}/{cname}")
+    for i in range(3):
+        _conv(flat, s, f"BboxHead.{i}.conv1x1", f"bbox_head{i}")
+        _conv(flat, s, f"ClassHead.{i}.conv1x1", f"class_head{i}")
+        _conv(flat, s, f"LandmarkHead.{i}.conv1x1", f"landmark_head{i}")
+
+    return _split_params_stats(flat)

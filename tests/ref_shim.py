@@ -142,6 +142,69 @@ def _torchvision_module():
     mutils.IntermediateLayerGetter = IntermediateLayerGetter
     models._utils = mutils
 
+    class _Bottleneck(nn.Module):
+        """torchvision.models.resnet.Bottleneck contract (expansion 4)."""
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            idn = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                idn = self.downsample(x)
+            return self.relu(out + idn)
+
+    class _ResNet50(nn.Module):
+        """torchvision.models.resnet50 contract (naming + topology)."""
+
+        def __init__(self):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(64, 3, 1)
+            self.layer2 = self._make_layer(128, 4, 2)
+            self.layer3 = self._make_layer(256, 6, 2)
+            self.layer4 = self._make_layer(512, 3, 2)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(2048, 1000)
+
+        def _make_layer(self, planes, blocks, stride):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * 4, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+            layers = [_Bottleneck(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            layers += [_Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    def resnet50(pretrained=False, **kw):
+        return _ResNet50()
+
+    models.resnet50 = resnet50
+
     transforms = types.ModuleType("torchvision.transforms")
     tfunc = types.ModuleType("torchvision.transforms.functional")
 

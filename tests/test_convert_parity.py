@@ -400,3 +400,48 @@ def test_restore_video_agrees_with_reference_sampler():
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-3,
                                err_msg="pipeline output diverges from the "
                                        "reference sampler")
+
+
+@pytest.mark.slow
+def test_retinaface_conversion_full_forward_parity():
+    """Reference RetinaFace-ResNet50 (torch, random init + random BN stats)
+    vs our flax RetinaFace with converted weights
+    (facelib/detection/retinaface/retinaface.py:78-157)."""
+    torch = pytest.importorskip("torch")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    try:
+        rf_mod = _import_reference(
+            "guided_diffusion.facelib.detection.retinaface.retinaface")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    torch.manual_seed(0)
+    ref = rf_mod.RetinaFace(network_name="resnet50").eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+             if "num_batches_tracked" not in k and not k.startswith("mean_tensor")}
+
+    from flair_tpu.models.retinaface import RetinaFace
+    from flair_tpu.utils.convert import convert_retinaface
+
+    variables = convert_retinaface(state, network="resnet50")
+    model = RetinaFace(network="resnet50")
+
+    x = (np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
+         * 255.0 - 120.0)
+    with torch.no_grad():
+        t_loc, t_conf, t_ldm = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_loc, j_conf, j_ldm = model.apply(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(j_loc), t_loc.numpy(), atol=5e-3,
+                               err_msg="bbox regression mismatch")
+    np.testing.assert_allclose(np.asarray(j_conf), t_conf.numpy(), atol=5e-3,
+                               err_msg="class confidence mismatch")
+    np.testing.assert_allclose(np.asarray(j_ldm), t_ldm.numpy(), atol=5e-3,
+                               err_msg="landmark regression mismatch")
