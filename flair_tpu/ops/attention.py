@@ -126,13 +126,22 @@ def flash_attention(
         not on_tpu
         or sq % block_q
         or skv % block_kv
-        or d % 128
+        or d % 128 and d not in (32, 64)
     ):
         return dot_product_attention(q, k, v, scale)
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+    if d % 128:
+        # exact zero-pad of the head dim to a full 128-lane tile: q·k dots
+        # and p·v products are unchanged by zero features (the flagship
+        # UNets use 64-channel heads, reference num_head_channels=64)
+        pad = 128 - d
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, pad)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, pad)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, pad)))
     of = _flash_attention_bhsd(qf, kf, vf, scale, block_q, block_kv)
+    of = of[..., :d]
     return of.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
