@@ -107,9 +107,11 @@ class Dense(nn.Module):
 
 class GroupNorm32(nn.Module):
     """GroupNorm with f32 statistics regardless of activation dtype
-    (nn.py:652-654). Affine params are f32."""
+    (nn.py:652-654). Affine params are f32. ``axis_name``: compute the
+    statistics jointly across a frame-sharded axis (shard_map)."""
 
     num_groups: int = 32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -121,7 +123,8 @@ class GroupNorm32(nn.Module):
         # gcd keeps exact reference semantics for every reference config
         # (channels are always multiples of 32 there) while allowing tiny
         # test/dryrun widths that torch GroupNorm(32, c<32) would reject.
-        return group_norm(x, math.gcd(self.num_groups, c), weight, bias)
+        return group_norm(x, math.gcd(self.num_groups, c), weight, bias,
+                          axis_name=self.axis_name)
 
 
 class ShiftWindowGroupNorm(nn.Module):

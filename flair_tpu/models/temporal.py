@@ -39,6 +39,11 @@ class TemporalAttention(nn.Module):
     num_heads: int = 1
     num_head_channels: int = -1
     norm_type: str = "group_norm"  # 'group_norm' | 'shift_window_norm' | 'none'
+    # set inside shard_map to shard the frame axis across chips: the norm
+    # statistics pmean over the axis (they are joint over frames) and the
+    # window attention sees true neighbours via a ppermute halo exchange —
+    # exact vs the unsharded forward (parallel/frame_sharded.py rationale)
+    frame_axis_name: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,11 +58,21 @@ class TemporalAttention(nn.Module):
         assert f % 2 == 1, "num_frames must be odd"
 
         if self.norm_type == "group_norm":
-            h = GroupNorm32(32, name="norm")(x)
+            h = GroupNorm32(32, axis_name=self.frame_axis_name, name="norm")(x)
         elif self.norm_type == "shift_window_norm":
+            assert self.frame_axis_name is None, (
+                "shift_window_norm is not frame-shardable"
+            )
             h = ShiftWindowGroupNorm(f, 32, name="norm")(x)
         else:
             h = x
+
+        if self.frame_axis_name is not None:
+            # window attention on the halo-extended block; only the dropped
+            # halo outputs see the block-edge replicate padding
+            from ..parallel.halo import halo_exchange_frames
+
+            h = halo_exchange_frames(h, f // 2, self.frame_axis_name)
 
         # relative-position embeddings (host numpy constants, jit-safe):
         # timestep_embedding(arange(F) - F//2, C); centre is the query term.
@@ -92,6 +107,8 @@ class TemporalAttention(nn.Module):
         out = temporal_window_attention(
             q, k, v, k_pos, num_frames=f, num_heads=heads
         )
+        if self.frame_axis_name is not None:
+            out = out[:, f // 2 : -(f // 2)]
         out = nn.Conv(
             c, (1, 1),
             kernel_init=nn.initializers.zeros,

@@ -21,6 +21,7 @@ def group_norm(
     weight: Array | None = None,
     bias: Array | None = None,
     eps: float = 1e-5,
+    axis_name: str | None = None,
 ) -> Array:
     """GroupNorm over (B, ..., C) with stats in f32 (nn.py:652-654).
 
@@ -35,8 +36,16 @@ def group_norm(
     b, c = shape[0], shape[-1]
     g = num_groups
     xg = xf.reshape(b, -1, g, c // g)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
+    if axis_name is None:
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+    else:
+        # frame-sharded: statistics joint over the full (sharded) frame axis
+        # via pmean — shards hold equal frame counts, so the mean of local
+        # moments is the global moment (parallel/frame_sharded.py)
+        mean = jax.lax.pmean(xg.mean(axis=(1, 3), keepdims=True), axis_name)
+        m2 = jax.lax.pmean((xg * xg).mean(axis=(1, 3), keepdims=True), axis_name)
+        var = m2 - mean * mean
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     out = xg.reshape(shape)
     if weight is not None:

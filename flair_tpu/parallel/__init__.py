@@ -14,3 +14,4 @@ from .mesh import (
     replicate_params,
 )
 from .halo import halo_exchange_frames
+from .frame_sharded import frame_sharded, frame_sharded_temporal_attention

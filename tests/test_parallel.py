@@ -72,3 +72,34 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 4, "frame": 2}
     mesh = make_mesh(8)
     assert mesh.shape["data"] == 8
+
+
+def test_frame_sharded_temporal_attention_matches_unsharded():
+    """Temporal window attention sharded over the frame axis (shard_map +
+    ppermute halo) equals the unsharded forward (SURVEY.md §5.7 TPU
+    mapping; halo = window//2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from flair_tpu.models.temporal import TemporalAttention
+    from flair_tpu.parallel import frame_sharded_temporal_attention, make_mesh
+
+    b, t, h, w, c = 2, 8, 4, 4, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, h, w, c))
+    attn = TemporalAttention(c, num_frames=5, num_heads=2)
+    params = attn.init(jax.random.PRNGKey(1), x)
+    # make the zero-init output projection live so attention actually mixes
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * np.random.RandomState(0).standard_normal(p.shape),
+        params,
+    )
+
+    ref = attn.apply(params, x)
+
+    mesh = make_mesh(8, axes=("data", "frame"), shape=(2, 4))
+    fn = frame_sharded_temporal_attention(attn, params, mesh)
+    with mesh:
+        out = fn(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
