@@ -234,3 +234,229 @@ def decode_predictions(
     dets = dets[order]
     keep = nms(dets[:, :5], iou_thres)
     return dets[keep]
+
+
+# ---------------------------------------------------------------------------
+# YAML-built model family (models/yolo.py:95-235 parse_model)
+# ---------------------------------------------------------------------------
+
+
+class ShuffleV2Block(nn.Module):
+    """ShuffleNet-V2 unit (yolov5face common.py:120-175): channel split at
+    stride 1 / dual downsampling branches at stride 2, channel shuffle."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bf = self.features // 2
+        cin = x.shape[-1]
+
+        def dw(h, s, name):
+            c = h.shape[-1]
+            h = nn.Conv(c, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)],
+                        feature_group_count=c, use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"{name}_conv")(h)
+            return nn.BatchNorm(use_running_average=True,
+                                param_dtype=jnp.float32, name=f"{name}_bn")(h)
+
+        def pw(h, c, act, name):
+            h = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"{name}_conv")(h)
+            h = nn.BatchNorm(use_running_average=True,
+                             param_dtype=jnp.float32, name=f"{name}_bn")(h)
+            return _silu(h) if act else h
+
+        if self.stride > 1:
+            b1 = dw(x, self.stride, "b1_dw")
+            b1 = pw(b1, bf, True, "b1_pw")
+            b2 = pw(x, bf, True, "b2_pw1")
+        else:
+            b1, b2 = x[..., :cin // 2], x[..., cin // 2:]
+            b2 = pw(b2, bf, True, "b2_pw1")
+        b2 = dw(b2, self.stride, "b2_dw")
+        b2 = pw(b2, bf, True, "b2_pw2")
+        out = jnp.concatenate([b1, b2], axis=-1)
+        # channel shuffle (2 groups)
+        b, hh, ww, c = out.shape
+        return out.reshape(b, hh, ww, 2, c // 2).swapaxes(3, 4).reshape(
+            b, hh, ww, c)
+
+
+# bundled face-detector graph configs (verbatim numeric content of
+# models/yolov5l.yaml and models/yolov5n.yaml — [from, number, module, args])
+YOLOV5_FACE_ANCHORS = (
+    (4, 5, 8, 10, 13, 16),
+    (23, 29, 43, 55, 73, 105),
+    (146, 217, 231, 300, 335, 433),
+)
+
+YOLOV5L_FACE_CFG = {
+    "nc": 1, "depth_multiple": 1.0, "width_multiple": 1.0,
+    "anchors": YOLOV5_FACE_ANCHORS,
+    "backbone": [
+        [-1, 1, "StemBlock", [64, 3, 2]],
+        [-1, 3, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [-1, 9, "C3", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],
+        [-1, 9, "C3", [512]],
+        [-1, 1, "Conv", [1024, 3, 2]],
+        [-1, 1, "SPP", [1024, [3, 5, 7]]],
+        [-1, 3, "C3", [1024, False]],
+    ],
+    "head": [
+        [-1, 1, "Conv", [512, 1, 1]],
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],
+        [[-1, 5], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],
+        [[-1, 3], 1, "Concat", [1]],
+        [-1, 3, "C3", [256, False]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [[-1, 13], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],
+        [-1, 1, "Conv", [512, 3, 2]],
+        [[-1, 9], 1, "Concat", [1]],
+        [-1, 3, "C3", [1024, False]],
+        [[16, 19, 22], 1, "Detect", []],
+    ],
+}
+
+YOLOV5N_FACE_CFG = {
+    "nc": 1, "depth_multiple": 1.0, "width_multiple": 1.0,
+    "anchors": YOLOV5_FACE_ANCHORS,
+    "backbone": [
+        [-1, 1, "StemBlock", [32, 3, 2]],
+        [-1, 1, "ShuffleV2Block", [128, 2]],
+        [-1, 3, "ShuffleV2Block", [128, 1]],
+        [-1, 1, "ShuffleV2Block", [256, 2]],
+        [-1, 7, "ShuffleV2Block", [256, 1]],
+        [-1, 1, "ShuffleV2Block", [512, 2]],
+        [-1, 3, "ShuffleV2Block", [512, 1]],
+    ],
+    "head": [
+        [-1, 1, "Conv", [128, 1, 1]],
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 1, "C3", [128, False]],
+        [-1, 1, "Conv", [128, 1, 1]],
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],
+        [[-1, 2], 1, "Concat", [1]],
+        [-1, 1, "C3", [128, False]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [[-1, 11], 1, "Concat", [1]],
+        [-1, 1, "C3", [128, False]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [[-1, 7], 1, "Concat", [1]],
+        [-1, 1, "C3", [128, False]],
+        [[14, 17, 20], 1, "Detect", []],
+    ],
+}
+
+
+def load_yolo_yaml(path: str) -> dict:
+    """Load a yolov5face model YAML (models/yolov5{l,n}.yaml) into the
+    config-dict form used by :class:`YOLOv5FromConfig`."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    # Detect's ['nc', 'anchors'] placeholders resolve to the cfg fields
+    for rows in (raw["backbone"], raw["head"]):
+        for r in rows:
+            if str(r[2]) == "Detect":
+                r[3] = []
+    cfg = {
+        "nc": raw.get("nc", 1),
+        "depth_multiple": raw.get("depth_multiple", 1.0),
+        "width_multiple": raw.get("width_multiple", 1.0),
+        "anchors": tuple(tuple(a) for a in raw["anchors"]),
+        "backbone": raw["backbone"],
+        "head": raw["head"],
+    }
+    return cfg
+
+
+class YOLOv5FromConfig(nn.Module):
+    """Generic yolov5face graph interpreter (models/yolo.py:95-235
+    parse_model): walks the [from, number, module, args] backbone+head lists,
+    keeping every layer output for skip references. Returns the per-level
+    raw detect maps [(B, Hi, Wi, na·no)] for :func:`decode_predictions`."""
+
+    cfg: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        cfg = dict(self.cfg)
+        gd, gw = cfg["depth_multiple"], cfg["width_multiple"]
+        nc = cfg["nc"]
+        na = len(cfg["anchors"][0]) // 2
+        no = nc + 5 + 10  # box(4)+obj(1)+landms(10)+cls
+
+        def cdepth(n):
+            return max(round(n * gd), 1) if n > 1 else n
+
+        def cwidth(c):
+            if gw == 1.0:
+                return c
+            return int(math.ceil(c * gw / 8) * 8)
+
+        ys = []  # per-layer outputs; -1 = previous (the image before layer 0)
+        detect_from = None
+
+        def get(f):
+            if f == -1:
+                return ys[-1] if ys else x
+            return ys[f]
+
+        layers = list(cfg["backbone"]) + list(cfg["head"])
+        for li, (frm, num, mod, args) in enumerate(layers):
+            mod = str(mod)
+            num = cdepth(num)
+            inp = get(frm) if isinstance(frm, int) else [get(f) for f in frm]
+            name = f"l{li}_{mod.replace('.', '_').lower()}"
+            if mod == "StemBlock":
+                y = StemBlock(cwidth(args[0]), self.dtype, name=name)(inp)
+            elif mod == "Conv":
+                k = args[1] if len(args) > 1 else 1
+                s = args[2] if len(args) > 2 else 1
+                y = YConv(cwidth(args[0]), k, s, self.dtype, name=name)(inp)
+            elif mod == "C3":
+                shortcut = args[1] if len(args) > 1 else True
+                y = C3(cwidth(args[0]), num, shortcut, self.dtype,
+                       name=name)(inp)
+            elif mod == "SPP":
+                y = SPP(cwidth(args[0]), tuple(args[1]), self.dtype,
+                        name=name)(inp)
+            elif mod == "ShuffleV2Block":
+                y = inp
+                for ni in range(num):  # n repeats share args (parse_model)
+                    y = ShuffleV2Block(cwidth(args[0]), args[1], self.dtype,
+                                       name=f"{name}_{ni}")(y)
+            elif mod == "nn.Upsample":
+                y = jnp.repeat(jnp.repeat(inp, int(args[1]), 1), int(args[1]), 2)
+            elif mod == "Concat":
+                y = jnp.concatenate(inp, axis=-1)
+            elif mod == "Detect":
+                detect_from = inp
+                y = inp[-1]
+            else:
+                raise ValueError(f"unknown module in config: {mod}")
+            ys.append(y)
+
+        assert detect_from is not None, "config has no Detect layer"
+        outs = []
+        for i, f in enumerate(detect_from):
+            outs.append(
+                nn.Conv(na * no, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"detect{i}")(f)
+            )
+        return outs

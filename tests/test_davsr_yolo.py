@@ -91,3 +91,41 @@ def test_reference_facial_points():
     assert pts.shape == (5, 2)
     # square template spans 112×112
     assert pts.max() < 112 and pts.min() > 0
+
+
+def test_yolov5_yaml_model_family():
+    """YAML-built yolov5face family (models/yolo.py:95-235 parse_model):
+    the bundled configs equal the reference YAML files, and the graph
+    interpreter builds + forwards the yolov5n-face config."""
+    import jax
+    import jax.numpy as jnp
+
+    from flair_tpu.models.yolov5face import (
+        YOLOV5L_FACE_CFG, YOLOV5N_FACE_CFG, YOLOv5FromConfig, load_yolo_yaml,
+    )
+
+    base = "/root/reference/guided_diffusion/facelib/detection/yolov5face/models"
+    for bundled, fname in ((YOLOV5L_FACE_CFG, "yolov5l.yaml"),
+                           (YOLOV5N_FACE_CFG, "yolov5n.yaml")):
+        try:
+            ref = load_yolo_yaml(f"{base}/{fname}")
+        except (FileNotFoundError, ImportError):
+            continue  # reference yaml or pyyaml unavailable
+        assert ref["anchors"] == bundled["anchors"]
+        def norm(rows):
+            # YAML reads the torch arg 'None' as the string 'None'
+            fix = lambda a: None if a == "None" else a
+            return [
+                [list(r[0]) if isinstance(r[0], list) else r[0], r[1],
+                 str(r[2]), [fix(a) for a in r[3]]] for r in rows
+            ]
+        assert norm(ref["backbone"]) == norm(bundled["backbone"]), fname
+        assert norm(ref["head"]) == norm(bundled["head"]), fname
+
+    model = YOLOv5FromConfig(YOLOV5N_FACE_CFG)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(params, x)
+    assert [o.shape for o in outs] == [
+        (1, 8, 8, 48), (1, 4, 4, 48), (1, 2, 2, 48)
+    ]
