@@ -140,3 +140,38 @@ def test_make_face_fn_identity_blend():
     # borders are zeroed in the mask; interior blends toward identity
     inner = np.asarray(fused[0, :, 14:18, 14:18] - x0[0, :, 14:18, 14:18])
     assert np.abs(inner).max() < 0.3
+
+
+def test_facelib_misc_utils_parity():
+    """Host-side facelib utils (facelib/utils/misc.py): img/tensor round
+    trip, grayscale heuristics, and numpy AdaIN vs the reference formulas."""
+    import numpy as np
+
+    from flair_tpu.face import misc
+
+    rs = np.random.RandomState(0)
+    img = (rs.rand(16, 16, 3) * 255).astype(np.uint8)
+    t = misc.img2tensor(img, bgr2rgb=True, float32=True)
+    assert t.shape == (3, 16, 16) and t.dtype == np.float32
+    back = misc.tensor2img(t / 255.0, rgb2bgr=True)
+    np.testing.assert_array_equal(back, img)
+
+    gray = np.stack([img[..., 0]] * 3, -1)
+    assert misc.is_gray(gray) and not misc.is_gray(img, threshold=1)
+    g1 = misc.rgb2gray(img.astype(np.float32))
+    assert g1.shape == (16, 16, 3)
+
+    content = rs.rand(2, 4, 8, 8).astype(np.float32)
+    style = rs.rand(2, 4, 8, 8).astype(np.float32) * 3 + 1
+    out = misc.adain_npy(content, style)
+    sm, ss = misc.calc_mean_std(style)
+    om, os_ = misc.calc_mean_std(out)
+    np.testing.assert_allclose(om, sm, atol=1e-4)
+    np.testing.assert_allclose(os_, ss, atol=1e-3)
+
+    # scandir finds this test file (absolute path: session runs in a tmpdir)
+    import os
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    files = list(misc.scandir(tests_dir, suffix=".py"))
+    assert any("test_face_models.py" in f for f in files)
