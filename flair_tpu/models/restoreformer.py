@@ -268,3 +268,86 @@ class RestoreFormer(nn.Module):
             head_size=self.head_size, dtype=self.dtype, name="decoder",
         )(quant, hs)
         return dec, emb_loss, info, hs
+
+
+class MultiHeadDecoder(nn.Module):
+    """Plain (self-attention-only) decoder variant (restoreformer.py:415-541)
+    — same topology as MultiHeadDecoderTransformer without the encoder
+    cross-attention."""
+
+    ch: int = 64
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 2, 4, 4, 8)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16,)
+    enable_mid: bool = True
+    head_size: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        n = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[-1]
+        curr = z.shape[1]
+        h = nn.Conv(block_in, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_in")(z)
+        if self.enable_mid:
+            h = RFResBlock(block_in, self.dtype, name="mid_block1")(h)
+            h = MultiHeadAttnBlock(self.head_size, self.dtype,
+                                   name="mid_attn")(h)
+            h = RFResBlock(block_in, self.dtype, name="mid_block2")(h)
+        for i in reversed(range(n)):
+            out_ch = self.ch * self.ch_mult[i]
+            for j in range(self.num_res_blocks + 1):
+                h = RFResBlock(out_ch, self.dtype, name=f"up{i}_block{j}")(h)
+                if curr in self.attn_resolutions:
+                    h = MultiHeadAttnBlock(
+                        self.head_size, self.dtype, name=f"up{i}_attn{j}"
+                    )(h)
+            if i != 0:
+                h = RFUp(self.dtype, name=f"up{i}_us")(h)
+                curr *= 2
+        h = GNorm(name="norm_out")(h)
+        h = _swish(h)
+        return nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv_out")(h)
+
+
+@register_model("vqvaegan")
+class VQVAEGAN(nn.Module):
+    """Base VQ-VAE-GAN without encoder cross-attention
+    (restoreformer.py:678-762). Returns (dec, codebook_loss, info)."""
+
+    n_embed: int = 1024
+    embed_dim: int = 256
+    ch: int = 64
+    ch_mult: Sequence[int] = (1, 2, 2, 4, 4, 8)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16,)
+    z_channels: int = 256
+    head_size: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hs = MultiHeadEncoder(
+            ch=self.ch, ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions,
+            z_channels=self.z_channels, head_size=self.head_size,
+            dtype=self.dtype, name="encoder",
+        )(x)
+        h = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="quant_conv")(hs["out"])
+        quant, emb_loss, info = RFVectorQuantizer(
+            self.n_embed, self.embed_dim, name="quantize"
+        )(h)
+        quant = nn.Conv(self.z_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="post_quant_conv")(quant)
+        dec = MultiHeadDecoder(
+            ch=self.ch, ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions,
+            head_size=self.head_size, dtype=self.dtype, name="decoder",
+        )(quant)
+        return dec, emb_loss, info

@@ -59,3 +59,20 @@ def test_restoreformer_forward():
     assert dec.shape == (1, 32, 32, 3)
     assert np.isfinite(float(loss))
     assert "mid_atten" in hs
+
+
+def test_vqvaegan_plain_variant_forward():
+    """Base VQVAEGAN + plain MultiHeadDecoder (restoreformer.py:415-541,
+    678-762) build and forward at a reduced scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from flair_tpu.models.restoreformer import VQVAEGAN
+
+    m = VQVAEGAN(n_embed=32, embed_dim=16, ch=8, ch_mult=(1, 2),
+                 num_res_blocks=1, attn_resolutions=(8,), z_channels=16)
+    x = jnp.zeros((1, 16, 16, 3))
+    p = m.init(jax.random.PRNGKey(0), x)
+    dec, loss, info = m.apply(p, x)
+    assert dec.shape == (1, 16, 16, 3)
+    assert jnp.isfinite(loss)
