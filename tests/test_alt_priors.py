@@ -69,7 +69,7 @@ def test_vqvaegan_plain_variant_forward():
 
     from flair_tpu.models.restoreformer import VQVAEGAN
 
-    m = VQVAEGAN(n_embed=32, embed_dim=16, ch=8, ch_mult=(1, 2),
+    m = VQVAEGAN(n_embed=32, embed_dim=16, ch=32, ch_mult=(1, 2),
                  num_res_blocks=1, attn_resolutions=(8,), z_channels=16)
     x = jnp.zeros((1, 16, 16, 3))
     p = m.init(jax.random.PRNGKey(0), x)
