@@ -30,6 +30,7 @@ def test_davsr_data_prox_identity_when_alpha_large():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_davsr_forward_tiny():
     from flair_tpu.models.davsr import DAVSRNet
 
@@ -44,6 +45,7 @@ def test_davsr_forward_tiny():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_yolov5face_forward_and_decode():
     from flair_tpu.models.yolov5face import YOLOv5Face, decode_predictions
 

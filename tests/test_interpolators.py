@@ -1,11 +1,13 @@
 """Frame-interpolator tests: SuperSloMo and AMT (tiny shapes)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_superslomo_forward():
     from flair_tpu.models.superslomo import SuperSloMo
 
@@ -41,6 +43,7 @@ def test_amt_bidir_corr_matches_naive():
     np.testing.assert_allclose(centre_t, naive, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_amt_forward_and_interpolate():
     from flair_tpu.models.amt import AMT, interpolate
 

@@ -82,6 +82,7 @@ def test_run_loop_saves_resumes_and_logs_quartiles(tmp_path, monkeypatch):
     assert int(runner2.state.step) == 4
 
 
+@pytest.mark.slow
 def test_interpolate_skipped_frames_shape():
     """AMT densification: N frames with skip=2 → 2N-1 frames, originals kept
     in place (train_util.py:231-250 roundrobin)."""
