@@ -285,7 +285,7 @@ def deform_conv2d_patch(
     dtp = x.dtype
     prec = "highest" if dtp == jnp.float32 else None
 
-    def body(carry, i):
+    def body_impl(carry, i):
         p0 = i * ch
         iy_c = lax.dynamic_slice_in_dim(iy_f, p0, ch, axis=2)
         ix_c = lax.dynamic_slice_in_dim(ix_f, p0, ch, axis=2)
@@ -327,6 +327,10 @@ def deform_conv2d_patch(
                                        precision=prec)
         return carry, out_c
 
+    # recompute the chunk (gather + window weights) in the backward pass:
+    # saving w2/patches as residuals OOMs training even at small sizes
+    # (scan-of-checkpoint; free when not differentiated)
+    body = jax.checkpoint(body_impl, prevent_cse=False)
     _, outs = lax.scan(body, None, jnp.arange(n_chunks))
     out = jnp.moveaxis(outs, 0, 1).reshape(b, p_total, cout)
     out = out.reshape(b, h, w, cout)
