@@ -144,3 +144,19 @@ def quantization_encode(x: Array, qf: int = 32) -> Array:
 def quantization_decode(x: Array, qf: int = 32) -> Array:
     """Identity (jpeg.py:187)."""
     return x
+
+
+def quantization_encode(x, qf: int = 32):
+    """Uniform value quantization in [-1, 1] (jpeg.py:170-186 extra codec;
+    the reference hardcodes qf=32 internally, kept for parity)."""
+    import jax.numpy as jnp
+
+    qf = 32
+    v = ((x + 1.0) / 2.0 * 255.0).astype(jnp.int32)
+    v = (v // qf).astype(jnp.float32) / (255.0 / qf)
+    return v * 2.0 - 1.0
+
+
+def quantization_decode(x, qf: int = 32):
+    """Identity (jpeg.py:186-187): uniform quantization has no decode."""
+    return x
