@@ -110,3 +110,17 @@ def block_idct8(x: Array) -> Array:
     blocks = x.reshape(*lead, h // 8, 8, w // 8, 8)
     out = jnp.einsum("uh,...ahbw,vw->...aubv", d, blocks, d)
     return out.reshape(*lead, h, w)
+
+
+def dct_3d(x: Array, norm: str | None = None) -> Array:
+    """DCT-II over the last three dimensions (dct.py:136-149)."""
+    y = dct(x, norm)
+    y = dct(y.swapaxes(-1, -2), norm).swapaxes(-1, -2)
+    return dct(y.swapaxes(-1, -3), norm).swapaxes(-1, -3)
+
+
+def idct_3d(x: Array, norm: str | None = None) -> Array:
+    """Inverse of :func:`dct_3d` (dct.py:151-165)."""
+    y = idct(x, norm)
+    y = idct(y.swapaxes(-1, -2), norm).swapaxes(-1, -2)
+    return idct(y.swapaxes(-1, -3), norm).swapaxes(-1, -3)

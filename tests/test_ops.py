@@ -609,3 +609,19 @@ def test_vsrpp_patch_mode_matches_gather_mode():
     o1 = m_fast.apply(params, hid, ff, fb)
     o2 = m_exact.apply(params, hid, ff, fb)
     assert float(jnp.abs(o1 - o2).max()) < 1e-5
+
+
+def test_dct_3d_round_trip_and_scipy_parity():
+    """3-D DCT appliers (dct.py:136-165): ortho round trip + scipy parity."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.fft import dctn
+
+    from flair_tpu.ops.dct import dct_3d, idct_3d
+
+    x = np.random.RandomState(0).randn(2, 4, 8, 8).astype(np.float32)
+    y = dct_3d(jnp.asarray(x), norm="ortho")
+    ref = dctn(x, type=2, norm="ortho", axes=(-3, -2, -1))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+    back = idct_3d(y, norm="ortho")
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
