@@ -48,7 +48,8 @@ def save_frames(frames01: np.ndarray, output_dir: str) -> None:
         )
 
 
-def build_model(task: str, checkpoint: str | None, *, dtype=None):
+def build_model(task: str, checkpoint: str | None, *, dtype=None,
+                exact_dcn: bool = False):
     """Construct the task's denoiser and parameters.
 
     With ``checkpoint``: load a converted (orbax/npz) or torch state dict via
@@ -62,15 +63,19 @@ def build_model(task: str, checkpoint: str | None, *, dtype=None):
 
     cfg = TASK_CONFIGS[task]
     dtype = dtype or jnp.bfloat16
+    # exact_dcn: per-sample gather DCN instead of the flow-anchored patch
+    # path (identical for the SR3 UNet, which the patch covers exactly;
+    # escape hatch for the ADM UNet's rare |residue| > 6 samples — PERF.md)
+    dcn = None if exact_dcn else "auto"
     if cfg.model_name == "bicubic_unet":
-        model = get_model("bicubic_unet", dtype=dtype)
+        model = get_model("bicubic_unet", dtype=dtype, dcn_patch_size=dcn)
         b, t = 1, 2
         x = jnp.zeros((b, t, 512, 512, 3))
         lvl = jnp.ones((b, t))
         lr = jnp.zeros((b, t, 512, 512, 3))
         init_args = (x, lvl, lr)
     else:
-        model = get_model("blur_unet", dtype=dtype)
+        model = get_model("blur_unet", dtype=dtype, dcn_patch_size=dcn)
         b, t = 1, 2
         x = jnp.zeros((b, t, 512, 512, 3))
         ts = jnp.zeros((b, t), jnp.int32)
@@ -178,6 +183,9 @@ def main(argv=None) -> int:
         sp.add_argument("--jpeg-qf", type=int, default=None)
         sp.add_argument("--frames", type=int, default=None,
                         help="restore only the first N frames")
+        sp.add_argument("--exact-dcn", action="store_true",
+                        help="per-sample gather deformable conv (exact for "
+                             "any residue magnitude; slower on TPU)")
         sp.add_argument("--no-face", action="store_true",
                         help="disable the CodeFormer face prior")
         sp.add_argument("--face-checkpoint-dir", default=None,
@@ -212,7 +220,8 @@ def main(argv=None) -> int:
         frames = frames[: args.frames]
 
     d = make_task_diffusion(cfg.task, cfg.steps)
-    model, params = build_model(args.task, args.checkpoint)
+    model, params = build_model(args.task, args.checkpoint,
+                                exact_dcn=args.exact_dcn)
     wrap = (
         wrap_bicubic_model if cfg.model_name == "bicubic_unet" else wrap_blur_model
     )
