@@ -107,7 +107,9 @@ class TemporalAttention(nn.Module):
         out = temporal_window_attention(
             q, k, v, k_pos, num_frames=f, num_heads=heads
         )
-        if self.frame_axis_name is not None:
+        if self.frame_axis_name is not None and f > 1:
+            # drop the halo frames; guarded so f == 1 stays a no-op instead
+            # of producing an empty frame axis
             out = out[:, f // 2 : -(f // 2)]
         out = nn.Conv(
             c, (1, 1),

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.deform import deform_conv2d_patch, modulated_deform_conv2d
+from ..ops.dcn_pallas import deform_conv2d_tile_ad
 from ..ops.warp import flow_warp
 from .common import leaky_relu
 from .registry import register_model
@@ -93,6 +94,12 @@ class SecondOrderDeformableAlignment(nn.Module):
     #             M <= 6 (the SR3 UNet uses M=5), else exact for |residue|<=6
     #   int    -> explicit patch size
     dcn_patch_size: Any = "auto"
+    # kernel implementation:
+    #   "auto"  -> Pallas tile-anchored kernel (ops/dcn_pallas) on TPU,
+    #              XLA patch gathers elsewhere
+    #   "tile"  -> force the Pallas kernel
+    #   "patch" -> force the XLA patch-gather path
+    dcn_impl: str = "auto"
     dtype: Any = jnp.float32
 
     def _patch_size(self) -> Optional[int]:
@@ -150,6 +157,24 @@ class SecondOrderDeformableAlignment(nn.Module):
         # value path runs in the module dtype (the reference runs the trunk —
         # including deform_conv2d — in fp16, sr3.py:528-541); offsets/mask
         # stay f32 and the coords are kept f32 inside the kernel
+        use_tile = self.dcn_impl == "tile" or (
+            self.dcn_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_tile and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0 \
+                and x.shape[-1] // 2 in (64, 128):
+            anchor = jnp.stack(
+                [
+                    jnp.stack([flow_1[..., 1], flow_1[..., 0]], axis=-1),
+                    jnp.stack([flow_2[..., 1], flow_2[..., 0]], axis=-1),
+                ],
+                axis=3,
+            ).astype(jnp.float32)  # (B,H,W,2,2) in (dy,dx)
+            pty = 16 if self.max_residue_magnitude <= 5 else 24
+            y = deform_conv2d_tile_ad(
+                x.astype(self.dtype), anchor, off, weight, bias,
+                mask is None, (2, 4), (pty, 32), 16, mask=mask,
+            )
+            return y.astype(x.dtype)
         ps = self._patch_size()
         if ps is not None:
             # fast path: one (ps,ps,C/2) patch per (pixel, flow half) anchored
@@ -179,6 +204,7 @@ class _PropStep(nn.Module):
     max_residue_magnitude: float
     deform_groups: int = 16
     dcn_patch_size: Any = "auto"
+    dcn_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -200,6 +226,7 @@ class _PropStep(nn.Module):
             deform_groups=self.deform_groups,
             max_residue_magnitude=self.max_residue_magnitude,
             dcn_patch_size=self.dcn_patch_size,
+            dcn_impl=self.dcn_impl,
             dtype=self.dtype,
             name="deform_align",
         )(packed, cond, flow_n1, flow_n2)
@@ -230,6 +257,7 @@ class BasicVSRPP(nn.Module):
     max_residue_magnitude: float = 10.0
     deform_groups: int = 16
     dcn_patch_size: Any = "auto"  # see SecondOrderDeformableAlignment
+    dcn_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -288,6 +316,7 @@ class BasicVSRPP(nn.Module):
             self.max_residue_magnitude,
             self.deform_groups,
             self.dcn_patch_size,
+            self.dcn_impl,
             self.dtype,
             name="backward_1",
         )(init, (feats_rev, extra_empty, fb_n1, fb_n2, w_rev, idxs))
@@ -305,6 +334,7 @@ class BasicVSRPP(nn.Module):
             self.max_residue_magnitude,
             self.deform_groups,
             self.dcn_patch_size,
+            self.dcn_impl,
             self.dtype,
             name="forward_1",
         )(init, (feats_fwd, extra_fwd, ff_n1, ff_n2, w_fwd, idxs))

@@ -229,11 +229,21 @@ def deform_conv2d_patch(
     ps = patch_size
     p_total = h * w
     gk = g * kk
-    # adaptive chunk: bound the per-chunk patch buffer to ~0.5 GB
-    budget = (1 << 28) // (a * ps * ps * ca)
-    ch = min(p_total, max(2048, 1 << (budget.bit_length() - 1)))
-    n_chunks = -(-p_total // ch)
-    assert p_total % ch == 0, "H*W must be divisible by the chunk size"
+    # chunk: bound the per-chunk patch buffer to ~0.5 GB, capped by the
+    # caller's `chunk`, then rounded DOWN to the largest divisor of H*W so
+    # every resolution (not just powers of two) is accepted
+    budget = max(1, (1 << 28) // (a * ps * ps * ca))
+    desired = max(1, min(p_total, budget, chunk))
+    ch = 1
+    d = 1
+    while d * d <= p_total:
+        if p_total % d == 0:
+            if d <= desired:
+                ch = max(ch, d)
+            if p_total // d <= desired:
+                ch = max(ch, p_total // d)
+        d += 1
+    n_chunks = p_total // ch
 
     cdt = jnp.float32
     base_y = jnp.arange(h, dtype=cdt)[None, :, None, None]

@@ -133,30 +133,15 @@ def jpeg_decode(planes: tuple[Array, Array], qf: int) -> Array:
 
 
 def quantization_encode(x: Array, qf: int = 32) -> Array:
-    """Uniform pixel-space quantiser extra (jpeg.py:170-184; qf fixed at 32)."""
-    qf = 32
-    x = (x + 1.0) / 2.0 * 255.0
-    x = jnp.floor(x).astype(jnp.int32) // qf
-    x = x.astype(jnp.float32) / (255.0 / qf)
-    return x * 2.0 - 1.0
-
-
-def quantization_decode(x: Array, qf: int = 32) -> Array:
-    """Identity (jpeg.py:187)."""
-    return x
-
-
-def quantization_encode(x, qf: int = 32):
     """Uniform value quantization in [-1, 1] (jpeg.py:170-186 extra codec;
-    the reference hardcodes qf=32 internally, kept for parity)."""
-    import jax.numpy as jnp
-
+    the reference hardcodes qf=32 internally, kept for parity). Matches the
+    reference's ``x.int()`` truncation toward zero on negatives."""
     qf = 32
     v = ((x + 1.0) / 2.0 * 255.0).astype(jnp.int32)
     v = (v // qf).astype(jnp.float32) / (255.0 / qf)
     return v * 2.0 - 1.0
 
 
-def quantization_decode(x, qf: int = 32):
+def quantization_decode(x: Array, qf: int = 32) -> Array:
     """Identity (jpeg.py:186-187): uniform quantization has no decode."""
     return x

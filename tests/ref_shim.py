@@ -490,9 +490,16 @@ def _mmcv_modules():
     sys.modules["mmcv.ops"] = ops
 
 
+def reference_root():
+    """Resolve the reference checkout (FLAIR_REFERENCE_ROOT overrides)."""
+    import os
+
+    return os.environ.get("FLAIR_REFERENCE_ROOT", "/root/reference")
+
+
 def install_reference_shims():
-    """Install all functional shims (idempotent) and put /root/reference on
-    sys.path. Safe to call multiple times."""
+    """Install all functional shims (idempotent) and put the reference
+    checkout on sys.path. Safe to call multiple times."""
     if "flash_attn" not in sys.modules:
         _flash_attn_module()
     if "torchvision" not in sys.modules or not hasattr(
@@ -505,5 +512,6 @@ def install_reference_shims():
         _mmedit_modules()
     if "mmcv" not in sys.modules or not hasattr(sys.modules["mmcv"], "ops"):
         _mmcv_modules()
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    root = reference_root()
+    if root not in sys.path:
+        sys.path.insert(0, root)

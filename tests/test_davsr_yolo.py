@@ -106,7 +106,10 @@ def test_yolov5_yaml_model_family():
         YOLOV5L_FACE_CFG, YOLOV5N_FACE_CFG, YOLOv5FromConfig, load_yolo_yaml,
     )
 
-    base = "/root/reference/guided_diffusion/facelib/detection/yolov5face/models"
+    from ref_shim import reference_root
+
+    base = (reference_root()
+            + "/guided_diffusion/facelib/detection/yolov5face/models")
     for bundled, fname in ((YOLOV5L_FACE_CFG, "yolov5l.yaml"),
                            (YOLOV5N_FACE_CFG, "yolov5n.yaml")):
         try:

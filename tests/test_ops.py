@@ -655,3 +655,79 @@ def test_flash_attention_routes_to_pallas_for_flagship_heads(monkeypatch):
     jaxpr2 = jax.make_jaxpr(lambda q: A.flash_attention(q, q, q))(q2)
     prims2 = {eqn.primitive.name for eqn in jaxpr2.eqns}
     assert not any("pallas" in p for p in prims2)
+
+
+class TestDCNTilePallas:
+    """Tile-anchored Pallas DCN (ops/dcn_pallas) vs the exact gather path."""
+
+    def _mk(self, key, h=16, w=32, cin=128, cout=64, g=16, amp=2.5, M=2.0):
+        import jax
+
+        ks = jax.random.split(key, 6)
+        b, a = 1, 2
+        x = jax.random.normal(ks[0], (b, h, w, cin), jnp.float32)
+        yy = jnp.arange(h)[None, :, None, None, None] / h
+        xx = jnp.arange(w)[None, None, :, None, None] / w
+        ph = jax.random.uniform(ks[1], (1, 1, 1, a, 2)) * 6.28
+        flow = amp * jnp.sin(2 * 3.1416 * (yy + xx) + ph) * jnp.ones(
+            (b, h, w, a, 2))
+        res = jnp.tanh(jax.random.normal(ks[2], (b, h, w, g, 9, 2))) * M
+        off = jnp.repeat(flow, g // a, axis=3)[:, :, :, :, None, :] + res
+        mask = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, w, g, 9)))
+        wgt = jax.random.normal(ks[4], (3, 3, cin, cout), jnp.float32) * 0.1
+        bias = jax.random.normal(ks[5], (cout,)) * 0.1
+        return x, flow, off, mask, wgt, bias
+
+    def test_matches_exact_path_when_no_escapes(self):
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import (
+            deform_conv2d_tile, tile_escape_fraction)
+        from flair_tpu.ops.deform import deform_conv2d
+
+        x, flow, off, mask, wgt, bias = self._mk(jax.random.PRNGKey(0))
+        assert float(tile_escape_fraction(
+            flow, off, tile=(2, 4), patch=(16, 32))) == 0.0
+        ref = deform_conv2d(x, off, wgt, bias, mask=mask)
+        out = deform_conv2d_tile(
+            x, flow, off, wgt, bias, mask=mask,
+            tile=(2, 4), patch=(16, 32), ntb=8, interpret=True)
+        # kernel computes in bf16
+        err = jnp.mean(jnp.abs(ref - out)) / jnp.mean(jnp.abs(ref))
+        assert float(err) < 0.02
+
+    def test_escape_fraction_flags_rough_flow(self):
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import tile_escape_fraction
+
+        x, flow, off, mask, wgt, bias = self._mk(
+            jax.random.PRNGKey(1), amp=0.0, M=2.0)
+        # per-pixel random flow with huge gradients -> escapes
+        rough = jax.random.normal(
+            jax.random.PRNGKey(2), flow.shape, jnp.float32) * 12.0
+        off_r = jnp.repeat(rough, 8, axis=3)[:, :, :, :, None, :] + (
+            off - jnp.repeat(flow, 8, axis=3)[:, :, :, :, None, :])
+        frac = float(tile_escape_fraction(
+            rough, off_r, tile=(2, 4), patch=(16, 32)))
+        assert frac > 0.05
+
+    def test_custom_vjp_gradients_flow(self):
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import deform_conv2d_tile_ad
+
+        x, flow, off, mask, wgt, bias = self._mk(
+            jax.random.PRNGKey(3), h=8, w=16, cin=128, cout=32, g=4)
+
+        def loss(x, wgt):
+            # interpret path is exercised by the fwd test; here only the
+            # backward wiring (patch-path VJP) matters, so keep shapes tiny
+            from flair_tpu.ops.deform import deform_conv2d_patch
+
+            out = deform_conv2d_patch(
+                x, flow, off, wgt, bias, mask=mask, patch_size=8)
+            return (out ** 2).mean()
+
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, wgt)
+        assert jnp.isfinite(gx).all() and jnp.isfinite(gw).all()

@@ -1,0 +1,124 @@
+"""Per-op latency profile on the real chip (readback-timed).
+
+Times the candidate hot ops of the guided step in isolation so optimization
+targets are measured, not guessed. Methodology per PERF.md: jit a scalar
+readback (`.astype(f32).sum()`), pull to host each rep, subtract the fixed
+readback overhead measured on a trivial function.
+
+Usage: python tools/profile_ops.py [op ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from flair_tpu.ops.deform import deform_conv2d_patch, deform_conv2d
+from flair_tpu.ops.warp import flow_warp
+
+
+def timeit(name, fn, *args, reps=3):
+    f = jax.jit(lambda *a: fn(*a).astype(jnp.float32).sum())
+    t0 = time.time()
+    v = float(f(*args))
+    compile_s = time.time() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        v = float(f(*args))
+        ts.append(time.time() - t0)
+    ms = min(ts) * 1e3
+    print(f"{name:46s} {ms - OVERHEAD_MS:9.1f} ms   (compile {compile_s:.1f}s, raw {ms:.1f})",
+          flush=True)
+    return ms - OVERHEAD_MS
+
+
+# fixed readback overhead
+_triv = jax.jit(lambda x: x.sum())
+_z = jnp.zeros((8, 128), jnp.float32)
+float(_triv(_z))
+_ts = []
+for _ in range(5):
+    _t0 = time.time()
+    float(_triv(_z))
+    _ts.append(time.time() - _t0)
+OVERHEAD_MS = min(_ts) * 1e3
+print(f"# readback overhead: {OVERHEAD_MS:.1f} ms", flush=True)
+
+want = set(sys.argv[1:])
+
+
+def sel(name):
+    return not want or any(w in name for w in want)
+
+
+key = jax.random.PRNGKey(0)
+ks = jax.random.split(key, 16)
+
+if sel("dcn"):
+    for (h, cin, cout) in [(512, 128, 64), (256, 256, 128)]:
+        b, g, kk, M = 1, 16, 9, 5
+        x = jax.random.normal(ks[0], (b, h, h, cin), jnp.bfloat16)
+        flow = jax.random.normal(ks[1], (b, h, h, 2, 2), jnp.float32) * 8.0
+        res = jnp.tanh(jax.random.normal(ks[2], (b, h, h, g, kk, 2), jnp.float32)) * M
+        off = jnp.repeat(flow, g // 2, axis=3)[:, :, :, :, None, :] + res
+        mask = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, h, g, kk), jnp.float32))
+        wgt = jax.random.normal(ks[4], (3, 3, cin, cout), jnp.bfloat16) * 0.05
+        ps = 2 * M + 4
+        timeit(f"dcn_patch {h}^2 cin{cin} ps{ps}",
+               lambda x, off, mask, wgt, flow: deform_conv2d_patch(
+                   x, flow, off, wgt, mask=mask, patch_size=ps),
+               x, off, mask, wgt, flow)
+
+if sel("warp"):
+    for (h, c) in [(512, 64), (512, 128), (256, 128), (128, 256), (64, 32)]:
+        x = jax.random.normal(ks[5], (1, h, h, c), jnp.bfloat16)
+        fl = jax.random.normal(ks[6], (1, h, h, 2), jnp.float32) * 8.0
+        timeit(f"flow_warp {h}^2 c{c}", flow_warp, x, fl)
+
+if sel("conv"):
+    for (h, c) in [(512, 64), (256, 128)]:
+        x = jax.random.normal(ks[7], (1, h, h, c), jnp.bfloat16)
+        w = jax.random.normal(ks[8], (3, 3, c, c), jnp.bfloat16) * 0.05
+        timeit(f"conv3x3 {h}^2 c{c}",
+               lambda x, w: jax.lax.conv_general_dilated(
+                   x, w, (1, 1), "SAME",
+                   dimension_numbers=("NHWC", "HWIO", "NHWC")), x, w)
+
+if sel("spynet"):
+    from flair_tpu.models.spynet import SPyNet
+    net = SPyNet(dtype=jnp.bfloat16)
+    a = jax.random.uniform(ks[9], (9, 512, 512, 3), jnp.float32)
+    bb = jax.random.uniform(ks[10], (9, 512, 512, 3), jnp.float32)
+    params = net.init(ks[11], a[:1], bb[:1])
+    timeit("spynet 9 pairs 512^2", lambda a, b: net.apply(params, a, b), a, bb)
+
+if sel("unet") or sel("step"):
+    from flair_tpu.models.sr3 import BicubicUNet
+    size, frames = 512, 10
+    model = BicubicUNet(
+        inner_channel=64, norm_groups=16, channel_mults=(1, 2, 4, 8, 16),
+        attn_res=(64, 32), vsrpp_res=(512, 256), image_size=size,
+        res_blocks=1, num_frames=7, head_dim=64, temporal_attn=True,
+        cross_frame_module=True, dtype=jnp.bfloat16)
+    x = jax.random.uniform(ks[12], (1, frames, size, size, 3), jnp.float32) * 2 - 1
+    lvl = jnp.full((1, frames), 0.5, jnp.float32)
+    shapes = jax.eval_shape(model.init, key, x, lvl, x)
+    params = jax.tree_util.tree_map(
+        lambda s: jax.random.normal(jax.random.PRNGKey(3), s.shape, s.dtype) * 0.02,
+        shapes)
+    if sel("unet"):
+        timeit("BicubicUNet fwd 512^2 x10f",
+               lambda p, x, l: model.apply(p, x, l, x, rnn_input=x), params, x, lvl)
