@@ -69,6 +69,8 @@ def _dcn_tile_kernel(
     ptxp = ptx // xpack       # packed patch columns
     uvp = pty * ptxp
 
+    nodma = ablate in ("nodma", "empty")
+
     def dma(buf, t, ai, aref):
         base = (t * a + ai) * 3
         return pltpu.make_async_copy(
@@ -79,17 +81,18 @@ def _dcn_tile_kernel(
             sem_ref.at[buf, t, ai],
         )
 
-    @pl.when(i == 0)
-    def _():
-        for t in range(ntb):
-            for ai in range(a):
-                dma(0, t, ai, anchors_ref).start()
+    if not nodma:
+        @pl.when(i == 0)
+        def _():
+            for t in range(ntb):
+                for ai in range(a):
+                    dma(0, t, ai, anchors_ref).start()
 
-    @pl.when(i + 1 < n_steps)
-    def _():
-        for t in range(ntb):
-            for ai in range(a):
-                dma((i + 1) % 2, t, ai, anchors_nxt_ref).start()
+        @pl.when(i + 1 < n_steps)
+        def _():
+            for t in range(ntb):
+                for ai in range(a):
+                    dma((i + 1) % 2, t, ai, anchors_nxt_ref).start()
 
     buf = i % 2
 
@@ -104,6 +107,13 @@ def _dcn_tile_kernel(
     u_row = (row_i // ptxp).astype(jnp.float32)       # (UVP, 1)
     colp = row_i % ptxp
 
+    if ablate == "empty":
+        out_ref[0] = (ry_ref[0, 0:tpix * ntb, 0:cout]
+                      + rx_ref[0, 0:tpix * ntb, 0:cout]
+                      + mw_ref[0, 0:tpix * ntb, 0:cout]
+                      ).astype(out_ref.dtype)
+        return
+
     for ai in range(a):
         for t in range(ntb):
             s = t * a + ai
@@ -112,7 +122,8 @@ def _dcn_tile_kernel(
             mw = mw_ref[0, s, :][None, :]
             wy = (jnp.maximum(0.0, 1.0 - jnp.abs(ry - u_row))
                   * mw) if ablate != "nobuild" else None
-            dma(buf, t, ai, anchors_ref).wait()
+            if not nodma:
+                dma(buf, t, ai, anchors_ref).wait()
             patch = patch_ref[buf, t, ai].reshape(uvp, 128)
             dots = []
             for par in range(xpack if ablate != "onedot" else 1):

@@ -648,3 +648,150 @@ def convert_retinaface(s: Mapping[str, np.ndarray], *,
         _conv(flat, s, f"LandmarkHead.{i}.conv1x1", f"landmark_head{i}")
 
     return _split_params_stats(flat)
+
+
+# ---------------------------------------------------------------------------
+# BiSeNet face parser (facelib/parsing/bisenet.py:8-141 + parsing/resnet.py)
+# ---------------------------------------------------------------------------
+
+
+def convert_bisenet(s: Mapping[str, np.ndarray]) -> dict:
+    """BiSeNet parser weights (parsing_bisenet.pth layout,
+    facelib/parsing/__init__.py:8-25) → flax variables for
+    models/bisenet.BiSeNet."""
+    flat: Flat = {}
+
+    def cbr(t: str, j: str) -> None:  # reference ConvBNReLU(conv, bn)
+        flat[f"{j}/conv/kernel"] = t2j_conv2d(np.asarray(s[f"{t}.conv.weight"]))
+        _bn(flat, s, f"{t}.bn", f"{j}/bn")
+
+    # ResNet18 backbone (parsing/resnet.py:49-71)
+    flat["resnet/conv1/kernel"] = t2j_conv2d(
+        np.asarray(s["cp.resnet.conv1.weight"]))
+    _bn(flat, s, "cp.resnet.bn1", "resnet/bn1")
+    for li in range(4):
+        for bi in range(2):
+            t = f"cp.resnet.layer{li + 1}.{bi}"
+            j = f"resnet/layer{li + 1}_{bi}"
+            for ci in (1, 2):
+                flat[f"{j}/c{ci}/conv/kernel"] = t2j_conv2d(
+                    np.asarray(s[f"{t}.conv{ci}.weight"]))
+                _bn(flat, s, f"{t}.bn{ci}", f"{j}/c{ci}/bn")
+            if f"{t}.downsample.0.weight" in s:
+                flat[f"{j}/downsample/conv/kernel"] = t2j_conv2d(
+                    np.asarray(s[f"{t}.downsample.0.weight"]))
+                _bn(flat, s, f"{t}.downsample.1", f"{j}/downsample/bn")
+
+    # context path (bisenet.py:53-85)
+    cbr("cp.conv_avg", "conv_avg")
+    for arm in ("arm16", "arm32"):
+        cbr(f"cp.{arm}.conv", f"{arm}/conv")
+        flat[f"{arm}/conv_atten/kernel"] = t2j_conv2d(
+            np.asarray(s[f"cp.{arm}.conv_atten.weight"]))
+        _bn(flat, s, f"cp.{arm}.bn_atten", f"{arm}/bn_atten")
+    cbr("cp.conv_head32", "conv_head32")
+    cbr("cp.conv_head16", "conv_head16")
+
+    # fusion + heads (bisenet.py:88-121)
+    cbr("ffm.convblk", "ffm/convblk")
+    for i in (1, 2):
+        flat[f"ffm/conv{i}/kernel"] = t2j_conv2d(
+            np.asarray(s[f"ffm.conv{i}.weight"]))
+    for name in ("conv_out", "conv_out16", "conv_out32"):
+        cbr(f"{name}.conv", f"{name}/conv")
+        flat[f"{name}/conv_out/kernel"] = t2j_conv2d(
+            np.asarray(s[f"{name}.conv_out.weight"]))
+    return _split_params_stats(flat)
+
+
+# ---------------------------------------------------------------------------
+# RestoreFormer (restoreformer.py:7-861)
+# ---------------------------------------------------------------------------
+
+
+def _rf_resblock(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    _norm(flat, s, f"{t}.norm1", f"{j}/norm1/GroupNorm_0")
+    _conv(flat, s, f"{t}.conv1", f"{j}/conv1")
+    _norm(flat, s, f"{t}.norm2", f"{j}/norm2/GroupNorm_0")
+    _conv(flat, s, f"{t}.conv2", f"{j}/conv2")
+    if f"{t}.nin_shortcut.weight" in s:
+        _conv(flat, s, f"{t}.nin_shortcut", f"{j}/nin_shortcut")
+
+
+def _rf_attn(flat: Flat, s: Mapping, t: str, j: str, *, norm2: bool) -> None:
+    """MultiHeadAttnBlock (restoreformer.py:218-285). The torch module always
+    owns norm2; our flax module only creates it on the cross-attention path,
+    so copy it only when the call site passes ``y``."""
+    _norm(flat, s, f"{t}.norm1", f"{j}/norm1/GroupNorm_0")
+    if norm2:
+        _norm(flat, s, f"{t}.norm2", f"{j}/norm2/GroupNorm_0")
+    for p in ("q", "k", "v", "proj_out"):
+        _conv(flat, s, f"{t}.{p}", f"{j}/{p}")
+
+
+def convert_restoreformer(
+    s: Mapping[str, np.ndarray],
+    *,
+    ch_mult: Sequence[int] = (1, 2, 2, 4, 4, 8),
+    num_res_blocks: int = 2,
+    resolution: int = 512,
+    attn_resolutions: Sequence[int] = (16,),
+    ex_multi_scale_num: int = 1,
+    cross: bool = True,
+) -> dict:
+    """VQVAEGANMultiHeadTransformer (restoreformer.py:764-861; ``cross=True``,
+    for models/restoreformer.RestoreFormer) or the plain VQVAEGAN
+    (restoreformer.py:678-762; ``cross=False``) → flax variables."""
+    flat: Flat = {}
+    n = len(ch_mult)
+
+    # encoder (restoreformer.py:288-368)
+    _conv(flat, s, "encoder.conv_in", "encoder/conv_in")
+    curr = resolution
+    for i in range(n):
+        for j in range(num_res_blocks):
+            _rf_resblock(flat, s, f"encoder.down.{i}.block.{j}",
+                         f"encoder/down{i}_block{j}")
+            if curr in attn_resolutions:
+                _rf_attn(flat, s, f"encoder.down.{i}.attn.{j}",
+                         f"encoder/down{i}_attn{j}", norm2=False)
+        if i != n - 1:
+            _conv(flat, s, f"encoder.down.{i}.downsample.conv",
+                  f"encoder/down{i}_ds/conv")
+            curr //= 2
+    _rf_resblock(flat, s, "encoder.mid.block_1", "encoder/mid_block1")
+    _rf_attn(flat, s, "encoder.mid.attn_1", "encoder/mid_attn", norm2=False)
+    _rf_resblock(flat, s, "encoder.mid.block_2", "encoder/mid_block2")
+    _norm(flat, s, "encoder.norm_out", "encoder/norm_out/GroupNorm_0")
+    _conv(flat, s, "encoder.conv_out", "encoder/conv_out")
+
+    # quantizer bridge
+    _conv(flat, s, "quant_conv", "quant_conv")
+    _conv(flat, s, "post_quant_conv", "post_quant_conv")
+    flat["quantize/embedding"] = np.asarray(s["quantize.embedding.weight"])
+
+    # decoder (restoreformer.py:543-675 transformer / 415-541 plain); the
+    # torch ModuleList is built with insert(0, ...) so up.{i} is level i
+    dec_attn = list(attn_resolutions)
+    if cross:
+        for _ in range(ex_multi_scale_num):
+            dec_attn = [dec_attn[0], dec_attn[-1] * 2]
+    _conv(flat, s, "decoder.conv_in", "decoder/conv_in")
+    _rf_resblock(flat, s, "decoder.mid.block_1", "decoder/mid_block1")
+    _rf_attn(flat, s, "decoder.mid.attn_1", "decoder/mid_attn", norm2=cross)
+    _rf_resblock(flat, s, "decoder.mid.block_2", "decoder/mid_block2")
+    curr = resolution // 2 ** (n - 1)
+    for i in reversed(range(n)):
+        for j in range(num_res_blocks + 1):
+            _rf_resblock(flat, s, f"decoder.up.{i}.block.{j}",
+                         f"decoder/up{i}_block{j}")
+            if curr in dec_attn:
+                _rf_attn(flat, s, f"decoder.up.{i}.attn.{j}",
+                         f"decoder/up{i}_attn{j}", norm2=cross)
+        if i != 0:
+            _conv(flat, s, f"decoder.up.{i}.upsample.conv",
+                  f"decoder/up{i}_us/conv")
+            curr *= 2
+    _norm(flat, s, "decoder.norm_out", "decoder/norm_out/GroupNorm_0")
+    _conv(flat, s, "decoder.conv_out", "decoder/conv_out")
+    return {"params": unflatten_params(flat)}
