@@ -795,3 +795,184 @@ def convert_restoreformer(
     _norm(flat, s, "decoder.norm_out", "decoder/norm_out/GroupNorm_0")
     _conv(flat, s, "decoder.conv_out", "decoder/conv_out")
     return {"params": unflatten_params(flat)}
+
+
+# ---------------------------------------------------------------------------
+# VQFR (vqfr.py:11-586)
+# ---------------------------------------------------------------------------
+
+
+def _vqfr_res(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    _norm(flat, s, f"{t}.norm1", f"{j}/norm1/GroupNorm_0")
+    _conv(flat, s, f"{t}.conv1", f"{j}/conv1")
+    _norm(flat, s, f"{t}.norm2", f"{j}/norm2/GroupNorm_0")
+    _conv(flat, s, f"{t}.conv2", f"{j}/conv2")
+    if f"{t}.residual_func.weight" in s:
+        _conv(flat, s, f"{t}.residual_func", f"{j}/residual_func")
+
+
+def convert_vqfr(
+    s: Mapping[str, np.ndarray],
+    *,
+    channel_multipliers: Sequence[int] = (1, 2, 2, 4, 4, 8),
+    num_enc_blocks: int = 2,
+    use_enc_attention: bool = True,
+    num_dec_blocks: int = 2,
+    use_dec_attention: bool = True,
+) -> dict:
+    """VQFRv2 weights (vqfr.py:490-586; released VQFR_v2.pth layout) →
+    flax variables for models/vqfr.VQFRv2."""
+    flat: Flat = {}
+    n = len(channel_multipliers)
+
+    _conv(flat, s, "inpfeat_extraction", "inpfeat_extraction")
+
+    # encoder (vqfr.py:190-260): blocks.{i} Sequential =
+    # [Downsample (i>0)] + num_blocks x [Res, Attn (last level only)]
+    _conv(flat, s, "encoder.conv_in", "encoder/conv_in")
+    for i in range(n):
+        si = 0
+        t = f"encoder.blocks.{i}"
+        if i != 0:
+            _conv(flat, s, f"{t}.{si}.conv", f"encoder/down{i}/conv")
+            si += 1
+        for j in range(num_enc_blocks):
+            _vqfr_res(flat, s, f"{t}.{si}", f"encoder/block{i}_{j}")
+            si += 1
+            if i == n - 1 and use_enc_attention:
+                _cf_attnblock(flat, s, f"{t}.{si}", f"encoder/attn{i}_{j}")
+                si += 1
+    if use_enc_attention:
+        _vqfr_res(flat, s, "encoder.mid_blocks.0", "encoder/mid1")
+        _cf_attnblock(flat, s, "encoder.mid_blocks.1", "encoder/mid_attn")
+        _vqfr_res(flat, s, "encoder.mid_blocks.2", "encoder/mid2")
+    else:
+        _vqfr_res(flat, s, "encoder.mid_blocks.0", "encoder/mid1")
+        _vqfr_res(flat, s, "encoder.mid_blocks.1", "encoder/mid2")
+    _norm(flat, s, "encoder.conv_out.0", "encoder/norm_out/GroupNorm_0")
+    _conv(flat, s, "encoder.conv_out.2", "encoder/conv_out")
+
+    # token head + codebook
+    if "feat2index.0.weight" in s:
+        _norm(flat, s, "feat2index.0", "feat2index_norm")
+        _linear(flat, s, "feat2index.1", "feat2index")
+    flat["quantizer/embedding"] = np.asarray(s["quantizer.embedding.weight"])
+
+    # decoder (vqfr.py:262-339): blocks.{k} covers level n-1-k
+    _conv(flat, s, "decoder.conv_in", "decoder/conv_in")
+    if use_dec_attention:
+        _vqfr_res(flat, s, "decoder.mid_blocks.0", "decoder/mid1")
+        _cf_attnblock(flat, s, "decoder.mid_blocks.1", "decoder/mid_attn")
+        _vqfr_res(flat, s, "decoder.mid_blocks.2", "decoder/mid2")
+    else:
+        _vqfr_res(flat, s, "decoder.mid_blocks.0", "decoder/mid1")
+        _vqfr_res(flat, s, "decoder.mid_blocks.1", "decoder/mid2")
+    for k in range(n):
+        i = n - 1 - k
+        si = 0
+        t = f"decoder.blocks.{k}"
+        if i != n - 1:
+            _conv(flat, s, f"{t}.{si}.conv", f"decoder/up{i}/conv")
+            si += 1
+        for j in range(num_dec_blocks):
+            _vqfr_res(flat, s, f"{t}.{si}", f"decoder/block{i}_{j}")
+            si += 1
+            if i == n - 1 and use_dec_attention:
+                _cf_attnblock(flat, s, f"{t}.{si}", f"decoder/attn{i}_{j}")
+                si += 1
+    # shared out head (decoder.conv_out, reused for main_dec at vqfr.py:584)
+    _norm(flat, s, "decoder.conv_out.0", "decoder_out/norm_out/GroupNorm_0")
+    _conv(flat, s, "decoder.conv_out.2", "decoder_out/conv_out")
+
+    # main branch (vqfr.py:429-488)
+    for i in reversed(range(n)):
+        lv = 2 ** i
+        t = f"main_branch.align_func_dict.Level_{lv}"
+        j = f"align_Level_{lv}"
+        _conv(flat, s, f"{t}.offset_conv1.0", f"{j}/off1_0")
+        _norm(flat, s, f"{t}.offset_conv1.1", f"{j}/off1_n0/GroupNorm_0")
+        _conv(flat, s, f"{t}.offset_conv1.3", f"{j}/off1_1")
+        _norm(flat, s, f"{t}.offset_conv1.4", f"{j}/off1_n1/GroupNorm_0")
+        _conv(flat, s, f"{t}.offset_conv1.6", f"{j}/off1_2")
+        _conv(flat, s, f"{t}.offset_conv2.0", f"{j}/off2")
+        _norm(flat, s, f"{t}.offset_conv2.1", f"{j}/off2_n/GroupNorm_0")
+        _conv(flat, s, f"{t}.dcn.conv_offset", f"{j}/dcn/conv_offset")
+        flat[f"{j}/dcn/weight"] = t2j_conv2d(np.asarray(s[f"{t}.dcn.weight"]))
+        flat[f"{j}/dcn/bias"] = np.asarray(s[f"{t}.dcn.bias"])
+        if i != n - 1:
+            _conv(flat, s, f"main_branch.pre_upsample_dict.Level_{lv}.1",
+                  f"pre_up_{lv}")
+            _vqfr_res(flat, s, f"main_branch.decoder_dict.Level_{lv}",
+                      f"dec_Level_{lv}")
+    return {"params": unflatten_params(flat)}
+
+
+# ---------------------------------------------------------------------------
+# YOLOv5-face detector (facelib/detection/yolov5face/models/yolo.py:95-235)
+# ---------------------------------------------------------------------------
+
+
+def _yolo_conv(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """yolov5face Conv (common.py:46-48): conv (no bias) + BN."""
+    flat[f"{j}/conv/kernel"] = t2j_conv2d(np.asarray(s[f"{t}.conv.weight"]))
+    _bn(flat, s, f"{t}.bn", f"{j}/bn")
+
+
+def convert_yolov5face(s: Mapping[str, np.ndarray], cfg: Mapping) -> dict:
+    """YOLOv5-face weights (yolov5n/l-face .pth) → flax variables for
+    models/yolov5face.YOLOv5FromConfig(cfg). Walks the same
+    [from, number, module, args] graph as the interpreter (yolo.py:95-235
+    parse_model), so torch layer index == our l{i} name."""
+    import math
+
+    flat: Flat = {}
+    gd = cfg["depth_multiple"]
+
+    def cdepth(n):
+        return max(round(n * gd), 1) if n > 1 else n
+
+    layers = list(cfg["backbone"]) + list(cfg["head"])
+    for li, (frm, num, mod, args) in enumerate(layers):
+        mod = str(mod)
+        t = f"model.{li}"
+        j = f"l{li}_{mod.replace('.', '_').lower()}"
+        n = cdepth(num)
+        if mod == "Conv":
+            _yolo_conv(flat, s, t, j)
+        elif mod == "StemBlock":
+            for sub in ("stem_1", "stem_2a", "stem_2b", "stem_3"):
+                _yolo_conv(flat, s, f"{t}.{sub}", f"{j}/{sub}")
+        elif mod == "C3":
+            for sub in ("cv1", "cv2", "cv3"):
+                _yolo_conv(flat, s, f"{t}.{sub}", f"{j}/{sub}")
+            for bi in range(n):
+                _yolo_conv(flat, s, f"{t}.m.{bi}.cv1", f"{j}/m{bi}/cv1")
+                _yolo_conv(flat, s, f"{t}.m.{bi}.cv2", f"{j}/m{bi}/cv2")
+        elif mod == "SPP":
+            _yolo_conv(flat, s, f"{t}.cv1", f"{j}/cv1")
+            _yolo_conv(flat, s, f"{t}.cv2", f"{j}/cv2")
+        elif mod == "ShuffleV2Block":
+            stride = args[1]
+            for ni in range(n):
+                tt = f"{t}.{ni}" if n > 1 else t
+                jj = f"{j}_{ni}"
+                if stride > 1:
+                    pairs = [("branch1.0", "b1_dw"), ("branch1.2", "b1_pw"),
+                             ("branch2.0", "b2_pw1"), ("branch2.3", "b2_dw"),
+                             ("branch2.5", "b2_pw2")]
+                else:
+                    pairs = [("branch2.0", "b2_pw1"), ("branch2.3", "b2_dw"),
+                             ("branch2.5", "b2_pw2")]
+                for tb, jb in pairs:
+                    bn_t = f"{tt}.{tb[:-1]}{int(tb[-1]) + 1}"
+                    flat[f"{jj}/{jb}_conv/kernel"] = t2j_conv2d(
+                        np.asarray(s[f"{tt}.{tb}.weight"]))
+                    _bn(flat, s, bn_t, f"{jj}/{jb}_bn")
+        elif mod == "Detect":
+            for i in range(len(frm)):
+                _conv(flat, s, f"{t}.m.{i}", f"detect{i}")
+        elif mod in ("nn.Upsample", "Concat"):
+            pass
+        else:
+            raise ValueError(f"unknown module in config: {mod}")
+    return _split_params_stats(flat)

@@ -108,6 +108,7 @@ def _torchvision_module():
     import torch.nn.functional as F
 
     tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.15.0"  # vqfr.py:356 LooseVersion gate → torchvision path
     ops = types.ModuleType("torchvision.ops")
     ops.deform_conv2d = _deform_conv2d
     tv.ops = ops
@@ -497,6 +498,104 @@ def reference_root():
     return os.environ.get("FLAIR_REFERENCE_ROOT", "/root/reference")
 
 
+
+def _timm_module():
+    """timm.models.layers.trunc_normal_ (vqfr.py:7) → torch.nn.init."""
+    import torch
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    models.layers = layers
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+
+def _dcn_module():
+    """guided_diffusion.dcn (the bundled CUDA extension, dcn/deform_conv.py)
+    → pure-torch replica driving the grid_sample deform_conv2d shim. Only the
+    pieces vqfr.py imports: ModulatedDeformConvPack, modulated_deform_conv."""
+    import math
+
+    import torch
+    import torch.nn as nn
+
+    def modulated_deform_conv(x, offset, mask, weight, bias, stride=1,
+                              padding=0, dilation=1, groups=1,
+                              deformable_groups=1):
+        assert groups == 1, "shim supports conv groups == 1"
+        return _deform_conv2d(x, offset, weight, bias, stride=stride,
+                              padding=padding, dilation=dilation, mask=mask)
+
+    class ModulatedDeformConv(nn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, deformable_groups=1,
+                     bias=True):
+            super().__init__()
+            self.in_channels = in_channels
+            self.out_channels = out_channels
+            self.kernel_size = (kernel_size, kernel_size) if isinstance(
+                kernel_size, int) else tuple(kernel_size)
+            self.stride = stride
+            self.padding = padding
+            self.dilation = dilation
+            self.groups = groups
+            self.deformable_groups = deformable_groups
+            self.weight = nn.Parameter(torch.Tensor(
+                out_channels, in_channels // groups, *self.kernel_size))
+            self.bias = nn.Parameter(torch.Tensor(out_channels)) if bias \
+                else None
+            self.init_weights()
+
+        def init_weights(self):
+            n = self.in_channels
+            for k in self.kernel_size:
+                n *= k
+            stdv = 1.0 / math.sqrt(n)
+            self.weight.data.uniform_(-stdv, stdv)
+            if self.bias is not None:
+                self.bias.data.zero_()
+
+        def forward(self, x, offset, mask):
+            return modulated_deform_conv(
+                x, offset, mask, self.weight, self.bias, self.stride,
+                self.padding, self.dilation, self.groups,
+                self.deformable_groups)
+
+    class ModulatedDeformConvPack(ModulatedDeformConv):
+        _version = 2
+
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self.conv_offset = nn.Conv2d(
+                self.in_channels,
+                self.deformable_groups * 3 * self.kernel_size[0]
+                * self.kernel_size[1],
+                kernel_size=self.kernel_size, stride=self.stride,
+                padding=self.padding, dilation=self.dilation, bias=True)
+            self.conv_offset.weight.data.zero_()
+            self.conv_offset.bias.data.zero_()
+
+        def forward(self, x):
+            out = self.conv_offset(x)
+            o1, o2, mask = torch.chunk(out, 3, dim=1)
+            offset = torch.cat((o1, o2), dim=1)
+            mask = torch.sigmoid(mask)
+            return modulated_deform_conv(
+                x, offset, mask, self.weight, self.bias, self.stride,
+                self.padding, self.dilation, self.groups,
+                self.deformable_groups)
+
+    dcn = types.ModuleType("guided_diffusion.dcn")
+    dcn.ModulatedDeformConvPack = ModulatedDeformConvPack
+    dcn.ModulatedDeformConv = ModulatedDeformConv
+    dcn.modulated_deform_conv = modulated_deform_conv
+    sys.modules["guided_diffusion.dcn"] = dcn
+
+
 def install_reference_shims():
     """Install all functional shims (idempotent) and put the reference
     checkout on sys.path. Safe to call multiple times."""
@@ -512,6 +611,10 @@ def install_reference_shims():
         _mmedit_modules()
     if "mmcv" not in sys.modules or not hasattr(sys.modules["mmcv"], "ops"):
         _mmcv_modules()
+    if "timm" not in sys.modules:
+        _timm_module()
+    if "guided_diffusion.dcn" not in sys.modules:
+        _dcn_module()
     root = reference_root()
     if root not in sys.path:
         sys.path.insert(0, root)

@@ -13,8 +13,9 @@ import jax.numpy as jnp
 
 
 def _import_reference(modname):
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
     import importlib
 
     return importlib.import_module(modname)
@@ -548,3 +549,119 @@ def test_vqvaegan_conversion_full_forward_parity():
     np.testing.assert_allclose(
         np.asarray(j_dec), t_dec.numpy().transpose(0, 2, 3, 1), atol=5e-3,
         err_msg="vqvaegan decode mismatch")
+
+
+@pytest.mark.slow
+def test_vqfr_conversion_full_forward_parity():
+    """Reference VQFRv2 (torch, random init) vs our VQFRv2 with converted
+    weights (vqfr.py:490-586 forward incl. the DCNv2Pack texture warps,
+    :341-427). Uses the released-model config at reduced size."""
+    torch = pytest.importorskip("torch")
+    try:
+        ref_mod = _import_reference("guided_diffusion.vqfr")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    torch.manual_seed(0)
+    ref = ref_mod.VQFRv2(
+        base_channels=32,
+        channel_multipliers=(1, 2, 2, 4),
+        num_enc_blocks=2,
+        use_enc_attention=True,
+        num_dec_blocks=2,
+        use_dec_attention=True,
+        code_dim=256,
+        inpfeat_dim=32,
+        code_selection_mode="Predict",
+        align_opt={"cond_channels": 32, "deformable_groups": 4},
+    ).eval()
+    # break the zero-init of the offset convs so the deformable warps are
+    # actually exercised with non-trivial offsets
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "conv_offset" in name:
+                p.uniform_(-0.05, 0.05)
+        # feat2index LayerNorm(256) vs Linear(256->1024) are fixed sizes in
+        # the reference; keep code_dim=256/num_code=1024
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from flair_tpu.models.vqfr import VQFRv2
+    from flair_tpu.utils.convert import convert_vqfr
+
+    variables = convert_vqfr(state, channel_multipliers=(1, 2, 2, 4))
+    model = VQFRv2(base_channels=32, channel_multipliers=(1, 2, 2, 4),
+                   deformable_groups=4)
+
+    # the reference quantizer hardcodes a 16x16 token grid
+    # (vqfr.py:537-539), so the input must be 16·2^(levels-1) = 128
+    x = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        t_res = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                    fidelity_ratio=0.7)
+    j_res = model.apply(variables, jnp.asarray(x), fidelity_ratio=0.7)
+
+    def chw(t):
+        return t.numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(
+        np.asarray(j_res["enc_feat"]), chw(t_res["enc_feat"]), atol=2e-3,
+        err_msg="vqfr encoder mismatch")
+    np.testing.assert_allclose(
+        np.asarray(j_res["quant_logit"]),
+        t_res["quant_logit"].numpy(), atol=2e-3,
+        err_msg="vqfr token logits mismatch")
+    np.testing.assert_allclose(
+        np.asarray(j_res["texture_dec"]), chw(t_res["texture_dec"]),
+        atol=5e-3, err_msg="vqfr texture decode mismatch")
+    np.testing.assert_allclose(
+        np.asarray(j_res["main_dec"]), chw(t_res["main_dec"]), atol=5e-3,
+        err_msg="vqfr main decode mismatch")
+
+
+@pytest.mark.slow
+def test_yolov5face_conversion_full_forward_parity():
+    """Reference yolov5n-face Model (torch, random init + randomized BN
+    stats) vs our YOLOv5FromConfig with converted weights: per-level raw
+    detect maps must agree (yolo.py:29-66 Detect, :95-235 parse_model)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("yaml")
+    try:
+        ref_mod = _import_reference(
+            "guided_diffusion.facelib.detection.yolov5face.models.yolo")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    from ref_shim import reference_root
+
+    cfg_path = (reference_root()
+                + "/guided_diffusion/facelib/detection/yolov5face/models"
+                + "/yolov5n.yaml")
+    torch.manual_seed(0)
+    ref = ref_mod.Model(cfg=cfg_path).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from flair_tpu.models.yolov5face import YOLOv5FromConfig, load_yolo_yaml
+    from flair_tpu.utils.convert import convert_yolov5face
+
+    cfg = load_yolo_yaml(cfg_path)
+    variables = convert_yolov5face(state, cfg)
+    model = YOLOv5FromConfig(cfg)
+
+    x = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        t_maps = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    if isinstance(t_maps, tuple):
+        t_maps = t_maps[1] if isinstance(t_maps[1], (list, tuple)) else t_maps[0]
+    j_maps = model.apply(variables, jnp.asarray(x))
+    na = len(cfg["anchors"][0]) // 2
+    for lvl, (jm, tm) in enumerate(zip(j_maps, t_maps)):
+        tm = tm.numpy()  # (B, na, H, W, no)
+        b, _, hh, ww, no = tm.shape
+        jm = np.asarray(jm).reshape(b, hh, ww, na, no).transpose(0, 3, 1, 2, 4)
+        np.testing.assert_allclose(
+            jm, tm, atol=2e-4, err_msg=f"yolo level {lvl} mismatch")
