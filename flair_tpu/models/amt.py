@@ -123,9 +123,12 @@ class FeatResBlock(nn.Module):
                     param_dtype=jnp.float32, name="conv2")(h)
         h = jax.nn.relu(_instance_norm(h))
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1),
-                        strides=(self.stride, self.stride), dtype=self.dtype,
-                        param_dtype=jnp.float32, name="downsample")(x)
+            # reference downsample = Sequential(conv1x1, InstanceNorm2d)
+            # (feat_enc.py:100-104) — the norm applies to the shortcut too
+            x = _instance_norm(nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name="downsample")(x))
         return jax.nn.relu(x + h)
 
 
@@ -201,8 +204,11 @@ class BidirCorr:
         dy, dx = np.meshgrid(
             np.linspace(-r, r, n), np.linspace(-r, r, n), indexing="ij"
         )
+        # RAFT adds its (dy, dx)-ordered window to (x, y)-ordered centroids
+        # (raft.py:180-186), so the X offset varies along the window's FIRST
+        # axis — reproduce that pairing or every off-centre tap transposes
         delta = jnp.asarray(
-            np.stack([dx, dy], -1).reshape(1, n, n, 2), jnp.float32
+            np.stack([dy, dx], -1).reshape(1, n, n, 2), jnp.float32
         )
 
         def one_dir(pyr, coords):

@@ -976,3 +976,100 @@ def convert_yolov5face(s: Mapping[str, np.ndarray], cfg: Mapping) -> dict:
         else:
             raise ValueError(f"unknown module in config: {mod}")
     return _split_params_stats(flat)
+
+
+# ---------------------------------------------------------------------------
+# SuperSloMo (superslomo.py:8-291)
+# ---------------------------------------------------------------------------
+
+
+def convert_superslomo(s: Mapping[str, np.ndarray]) -> dict:
+    """SuperSloMo weights (flow UNet + interpolation UNet,
+    superslomo.py:217-221) → flax variables for models/superslomo.SuperSloMo."""
+    flat: Flat = {}
+    for net in ("flow_estimator", "interp"):
+        for cv in ("conv1", "conv2", "conv3"):
+            _conv(flat, s, f"{net}.{cv}", f"{net}/{cv}")
+        for i in range(1, 6):
+            for cv in ("conv1", "conv2"):
+                _conv(flat, s, f"{net}.down{i}.{cv}", f"{net}/down{i}/{cv}")
+                _conv(flat, s, f"{net}.up{i}.{cv}", f"{net}/up{i}/{cv}")
+    return {"params": unflatten_params(flat)}
+
+
+# ---------------------------------------------------------------------------
+# AMT frame interpolator (amt.py:44-236 + amt_blocks/*)
+# ---------------------------------------------------------------------------
+
+
+def t2j_convtranspose2d(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) → flax nn.ConvTranspose
+    kernel (kh, kw, in, out); flax's transposed conv correlates an unflipped
+    kernel, so the spatial taps must be reversed (verified vs torch)."""
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def _amt_convrelu(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """ifrnet convrelu Sequential(Conv2d, PReLU) → our ConvPReLU."""
+    _conv(flat, s, f"{t}.0", f"{j}/conv")
+    flat[f"{j}/act/prelu"] = np.asarray(s[f"{t}.1.weight"])
+
+
+def _amt_resblock(flat: Flat, s: Mapping, t: str, j: str) -> None:
+    """ifrnet ResBlock (conv1-4 convrelu, conv5 plain, trailing PReLU)."""
+    for i in (1, 2, 3, 4):
+        _amt_convrelu(flat, s, f"{t}.conv{i}", f"{j}/conv{i}")
+    _conv(flat, s, f"{t}.conv5", f"{j}/conv5")
+    flat[f"{j}/prelu/prelu"] = np.asarray(s[f"{t}.prelu.weight"])
+
+
+def convert_amt(s: Mapping[str, np.ndarray]) -> dict:
+    """AMT interpolator weights (amt-l released ckpt layout, amt.py:44-111)
+    → flax variables for models/amt.AMT."""
+    flat: Flat = {}
+
+    # RAFT feature encoder (feat_enc.py:267-345, instance norm — affine-free,
+    # so norms carry no weights)
+    _conv(flat, s, "feat_encoder.conv1", "feat_encoder/conv1")
+    _conv(flat, s, "feat_encoder.conv2", "feat_encoder/conv2")
+    for i, lname in enumerate(("layer1", "layer2", "layer3", "layer3_2")):
+        for bi in range(2):
+            t = f"feat_encoder.{lname}.{bi}"
+            j = f"feat_encoder/layer{i}_{bi}"
+            _conv(flat, s, f"{t}.conv1", f"{j}/conv1")
+            _conv(flat, s, f"{t}.conv2", f"{j}/conv2")
+            if f"{t}.downsample.0.weight" in s:
+                _conv(flat, s, f"{t}.downsample.0", f"{j}/downsample")
+
+    # IFRNet pyramid encoder (4 levels of 2 convrelu)
+    for idx in range(4):
+        for sub in range(2):
+            _amt_convrelu(flat, s, f"encoder.pyramid{idx + 1}.{sub}",
+                          f"encoder/pyr{idx}_{sub}")
+
+    # coarse-to-fine decoders: convblock = [convrelu, ResBlock, deconv]
+    for k in (4, 3, 2, 1):
+        t = f"decoder{k}.convblock"
+        j = f"decoder{k}"
+        _amt_convrelu(flat, s, f"{t}.0", f"{j}/conv_in")
+        _amt_resblock(flat, s, f"{t}.1", f"{j}/res")
+        flat[f"{j}/up/deconv/kernel"] = t2j_convtranspose2d(
+            np.asarray(s[f"{t}.2.weight"]))
+        flat[f"{j}/up/deconv/bias"] = np.asarray(s[f"{t}.2.bias"])
+
+    # RAFT update blocks
+    for u in ("update4", "update3_low", "update3_high",
+              "update2_low", "update2_high"):
+        for cv in ("convc1", "convc2", "convf1", "convf2", "conv"):
+            _conv(flat, s, f"{u}.{cv}", f"{u}/{cv}")
+        for tseq, jpair in (("gru", ("gru1", "gru2")),
+                            ("feat_head", ("feat1", "feat2")),
+                            ("flow_head", ("flow1", "flow2"))):
+            _conv(flat, s, f"{u}.{tseq}.0", f"{u}/{jpair[0]}")
+            _conv(flat, s, f"{u}.{tseq}.2", f"{u}/{jpair[1]}")
+
+    # multi-flow combination head
+    _conv(flat, s, "comb_block.0", "comb0/conv")
+    flat["comb0/act/prelu"] = np.asarray(s["comb_block.1.weight"])
+    _conv(flat, s, "comb_block.2", "comb1")
+    return {"params": unflatten_params(flat)}

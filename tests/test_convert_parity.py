@@ -665,3 +665,70 @@ def test_yolov5face_conversion_full_forward_parity():
         jm = np.asarray(jm).reshape(b, hh, ww, na, no).transpose(0, 3, 1, 2, 4)
         np.testing.assert_allclose(
             jm, tm, atol=2e-4, err_msg=f"yolo level {lvl} mismatch")
+
+
+@pytest.mark.slow
+def test_superslomo_conversion_full_forward_parity():
+    """Reference SuperSloMo (torch, random init) vs ours with converted
+    weights (superslomo.py:249-291 forward, back_warp :225-247)."""
+    torch = pytest.importorskip("torch")
+    try:
+        ref_mod = _import_reference("guided_diffusion.superslomo")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    torch.manual_seed(0)
+    ref = ref_mod.SuperSloMo().eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from flair_tpu.models.superslomo import SuperSloMo
+    from flair_tpu.utils.convert import convert_superslomo
+
+    variables = convert_superslomo(state)
+    model = SuperSloMo(factor=4)
+
+    rs = np.random.RandomState(0)
+    f0 = rs.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+    f1 = rs.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        t_out = ref(torch.from_numpy(f0.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(f1.transpose(0, 3, 1, 2)), factor=4)
+    j_out = model.apply(variables, jnp.asarray(f0), jnp.asarray(f1))
+    np.testing.assert_allclose(
+        np.asarray(j_out), t_out.numpy().transpose(0, 1, 3, 4, 2), atol=2e-4,
+        err_msg="superslomo interpolation mismatch")
+
+
+@pytest.mark.slow
+def test_amt_conversion_full_forward_parity():
+    """Reference AMT (torch, random init) vs ours with converted weights
+    (amt.py:113-225 _forward: RAFT correlation pyramid, coarse-to-fine
+    update blocks, multi-flow combination)."""
+    torch = pytest.importorskip("torch")
+    try:
+        ref_mod = _import_reference("guided_diffusion.amt")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    torch.manual_seed(0)
+    ref = ref_mod.AMT().eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from flair_tpu.models.amt import AMT, interpolate
+    from flair_tpu.utils.convert import convert_amt
+
+    variables = convert_amt(state)
+    model = AMT()
+
+    rs = np.random.RandomState(0)
+    # width > 64 so the reference uses scale_factor=1.0 (amt.py:230-232)
+    f0 = rs.rand(1, 96, 96, 3).astype(np.float32) * 2 - 1
+    f1 = rs.rand(1, 96, 96, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        t_out = ref(torch.from_numpy(f0.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(f1.transpose(0, 3, 1, 2)), factor=2)
+    j_out = interpolate(model, variables, jnp.asarray(f0), jnp.asarray(f1),
+                        factor=2)
+    np.testing.assert_allclose(
+        np.asarray(j_out), t_out.numpy().transpose(0, 1, 3, 4, 2), atol=1e-3,
+        err_msg="amt interpolation mismatch")
