@@ -1073,3 +1073,34 @@ def convert_amt(s: Mapping[str, np.ndarray]) -> dict:
     flat["comb0/act/prelu"] = np.asarray(s["comb_block.1.weight"])
     _conv(flat, s, "comb_block.2", "comb1")
     return {"params": unflatten_params(flat)}
+
+
+# ---------------------------------------------------------------------------
+# DAVSRNet pieces (davsr.py:1557-1921)
+# ---------------------------------------------------------------------------
+
+
+def convert_davsr_aux(s: Mapping[str, np.ndarray]) -> dict:
+    """DAVSRNet auxiliary nets → flax params for models/davsr.DAVSRNet:
+    HyPaNet (1×1 Conv3d MLP ↔ Dense, davsr.py:1722-1744) and the two
+    SuperSloMo UNets (flow/interp, davsr.py:1788-1790).
+
+    The internal BasicVSRPP regularizer is intentionally NOT mapped: the
+    reference instance upsamples 4× per unfolding iteration
+    (davsr.py:1374-1380 upsample path inside the :1914-1916 loop), which is
+    resolution-inconsistent with its own data prox — our DAVSRNet keeps a
+    same-size regularizer by design (models/davsr.ImageVSRPP docstring).
+    """
+    flat: Flat = {}
+    for i, fc in ((0, "fc1"), (2, "fc2"), (4, "fc3")):
+        w = np.asarray(s[f"h.mlp.{i}.weight"])  # (O, I, 1, 1, 1)
+        flat[f"hypanet/{fc}/kernel"] = w.reshape(w.shape[0], w.shape[1]).T
+        flat[f"hypanet/{fc}/bias"] = np.asarray(s[f"h.mlp.{i}.bias"])
+    for net in ("flow", "interp"):
+        for cv in ("conv1", "conv2", "conv3"):
+            _conv(flat, s, f"{net}.{cv}", f"{net}/{cv}")
+        for i in range(1, 6):
+            for cv in ("conv1", "conv2"):
+                _conv(flat, s, f"{net}.down{i}.{cv}", f"{net}/down{i}/{cv}")
+                _conv(flat, s, f"{net}.up{i}.{cv}", f"{net}/up{i}/{cv}")
+    return {"params": unflatten_params(flat)}

@@ -426,6 +426,16 @@ def _mmedit_modules():
     models_m.common = common
     mmedit.models = models_m
 
+    utils_m = types.ModuleType("mmedit.utils")
+
+    def get_root_logger(*a, **k):  # davsr.py:17
+        import logging
+
+        return logging.getLogger("mmedit")
+
+    utils_m.get_root_logger = get_root_logger
+    mmedit.utils = utils_m
+
     for name, mod in (
         ("mmedit", mmedit),
         ("mmedit.models", models_m),
@@ -433,6 +443,7 @@ def _mmedit_modules():
         ("mmedit.models.backbones.sr_backbones", srb),
         ("mmedit.models.backbones.sr_backbones.basicvsr_net", bvn),
         ("mmedit.models.common", common),
+        ("mmedit.utils", utils_m),
     ):
         sys.modules[name] = mod
 
@@ -486,9 +497,21 @@ def _mmcv_modules():
     ops.ModulatedDeformConv2d = ModulatedDeformConv2d
     mmcv.cnn = cnn
     mmcv.ops = ops
+    runner = types.ModuleType("mmcv.runner")
+
+    def load_checkpoint(model, filename, *a, **k):  # davsr.py:19
+        import torch
+
+        state = torch.load(filename, map_location="cpu")
+        model.load_state_dict(state.get("state_dict", state), strict=False)
+        return state
+
+    runner.load_checkpoint = load_checkpoint
+    mmcv.runner = runner
     sys.modules["mmcv"] = mmcv
     sys.modules["mmcv.cnn"] = cnn
     sys.modules["mmcv.ops"] = ops
+    sys.modules["mmcv.runner"] = runner
 
 
 def reference_root():

@@ -134,3 +134,118 @@ def test_yolov5_yaml_model_family():
     assert [o.shape for o in outs] == [
         (1, 8, 8, 48), (1, 4, 4, 48), (1, 2, 2, 48)
     ]
+
+
+def test_davsr_data_prox_matches_reference():
+    """Our data_prox_3d vs the reference DataNet3D (davsr.py:1688-1713) on
+    random volumes with the real ker_x4 OTFs."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import sys
+
+    if "/root/repo/tests" not in sys.path:
+        sys.path.insert(0, "/root/repo/tests")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    try:
+        import importlib
+
+        ref_mod = importlib.import_module("guided_diffusion.davsr")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    import jax.numpy as jnp
+
+    from flair_tpu.models.davsr import data_prox_3d, load_ker_x4, ps2ot
+
+    sf = (5, 2, 2)
+    T, H, W = 10, 16, 16
+    k2d = load_ker_x4()[:5, :5]  # crop so the PSF fits the tiny volume
+    psf = np.repeat(k2d[None], sf[0], axis=0) / sf[0]
+    FB = ps2ot(psf, (T, H, W))
+    FBC = np.conj(FB)
+    F2B = np.abs(FB) ** 2
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, T, H, W, 3).astype(np.float32)
+    y_small = rs.rand(1, 3, T // sf[0], H // sf[1], W // sf[2]).astype(
+        np.float32)
+    sty = np.zeros((1, 3, T, H, W), np.float32)
+    sty[:, :, :: sf[0], :: sf[1], :: sf[2]] = y_small
+    FBFy = FBC[None, None] * np.fft.fftn(sty, axes=(2, 3, 4))
+    alpha = 0.37
+
+    ref = ref_mod.DataNet3D()
+    with torch.no_grad():
+        t_out = ref(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)).to(torch.complex64),
+            torch.from_numpy(FB.astype(np.complex64))[None, None],
+            torch.from_numpy(FBC.astype(np.complex64))[None, None],
+            torch.from_numpy(F2B.astype(np.complex64))[None, None],
+            torch.from_numpy(FBFy.astype(np.complex64)),
+            torch.tensor(alpha, dtype=torch.complex64).reshape(1, 1, 1, 1, 1),
+            sf,
+        )
+    j_out = data_prox_3d(
+        jnp.asarray(x), jnp.asarray(FB.astype(np.complex64)),
+        jnp.asarray(FBC.astype(np.complex64)),
+        jnp.asarray(F2B.astype(np.complex64)),
+        jnp.asarray(FBFy.astype(np.complex64)),
+        jnp.asarray(alpha, jnp.complex64).reshape(1, 1, 1, 1, 1), sf)
+    np.testing.assert_allclose(
+        np.asarray(j_out),
+        np.real(t_out.numpy()).transpose(0, 2, 3, 4, 1), atol=2e-4,
+        err_msg="davsr data prox mismatch")
+
+
+def test_davsr_hypanet_conversion_parity():
+    """HyPaNet converted weights parity (davsr.py:1722-1744)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import sys
+
+    if "/root/repo/tests" not in sys.path:
+        sys.path.insert(0, "/root/repo/tests")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    try:
+        import importlib
+
+        ref_mod = importlib.import_module("guided_diffusion.davsr")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    import jax.numpy as jnp
+
+    from flair_tpu.models.davsr import HyPaNet
+    from flair_tpu.utils.convert import convert_davsr_aux
+
+    torch.manual_seed(0)
+    ref = ref_mod.HyPaNet(in_nc=3, out_nc=8, channel=32).eval()
+    state = {f"h.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    # fill dummy slomo keys so the converter walks its full table
+    import torch.nn as tnn
+
+    slomo = importlib.import_module("guided_diffusion.superslomo")
+    fu = slomo.UNet(6, 4)
+    iu = slomo.UNet(20, 5)
+    for net, mod in (("flow", fu), ("interp", iu)):
+        for k, v in mod.state_dict().items():
+            state[f"{net}.{k}"] = v.detach().numpy()
+
+    variables = convert_davsr_aux(state)
+    model = HyPaNet(out_nc=8, channel=32)
+    x = np.random.RandomState(1).rand(2, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = ref(torch.from_numpy(x.reshape(2, 3, 1, 1, 1)))
+    j_out = model.apply(
+        {"params": variables["params"]["hypanet"]}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(j_out), t_out.numpy().reshape(2, 8), atol=1e-5,
+        err_msg="hypanet mismatch")
