@@ -146,6 +146,7 @@ def restore_video(
     rng: Optional[Array] = None,
     win: int = FRAME_SLICE_LEN,
     overlap: int = OVERLAP,
+    pad_tail: bool = True,
 ) -> np.ndarray:
     """Restore a full clip window by window.
 
@@ -157,6 +158,12 @@ def restore_video(
     ``codeformer_apply`` are given, faces are detected once per window on the
     upscaled init frames, and the per-step crop → CodeFormer(adain) →
     ParseNet-mask paste-back runs on device inside the scanned sampler.
+    ``pad_tail``: pad the short tail window to ``win`` frames by repeating
+    the last frame (dropped at stitch time), so every window runs the SAME
+    compiled program — the reference's short tail window
+    (video_sample.py:361-368) costs a second multi-minute XLA compile per
+    clip on TPU. Set False for bit-exact reference-window semantics.
+
     Returns (T, 512, 512, 3) in [0, 1].
     """
     from ..face.helper import make_face_fn
@@ -174,6 +181,10 @@ def restore_video(
 
     for wi, (start, length) in enumerate(window_slices(t_all, win, overlap)):
         sl = frames[start : start + length][None]  # (1, Tw, h, w, 3) in [0,1]
+        if pad_tail and length < win:
+            sl = jnp.concatenate(
+                [sl, jnp.repeat(sl[:, -1:], win - length, axis=1)], axis=1
+            )
         tw = sl.shape[1]
         init = init_from_degraded(sl, cfg)
         low_res = init  # conditioning = upscaled degraded (video_sample.py:399-403)
@@ -273,9 +284,9 @@ def restore_video(
 
         keep_from = overlap if prev_recon is not None else 0
         recon = np.asarray(sample[0])
-        for i in range(keep_from, tw):
+        for i in range(keep_from, length):
             outputs[start + i] = recon[i]
-        prev_recon = jnp.asarray(sample[:, tw - overlap :])
+        prev_recon = jnp.asarray(sample[:, length - overlap : length])
 
     out = np.stack(outputs)  # (T, H, W, 3) in [-1, 1]
     return np.clip((out + 1.0) / 2.0, 0.0, 1.0)

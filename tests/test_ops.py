@@ -731,3 +731,59 @@ class TestDCNTilePallas:
 
         gx, gw = jax.grad(loss, argnums=(0, 1))(x, wgt)
         assert jnp.isfinite(gx).all() and jnp.isfinite(gw).all()
+
+
+def test_warp_affine_bicubic_matches_cv2_rotation_scale():
+    """warp_affine(mode='bicubic') vs cv2.warpAffine(INTER_CUBIC) for
+    rotation+scale matrices on both the crop and inverse-paste directions
+    (face_restoration_helper.py:203,232-254). Border pixels touch the
+    BORDER_CONSTANT boundary where cv2's cubic taps clamp differently, so
+    compare on the interior."""
+    import cv2
+
+    from flair_tpu.ops import warp as W
+
+    rs = np.random.RandomState(0)
+    img = rs.rand(48, 40, 3).astype(np.float32)
+    # similarity transform like cp2tform output: rotation+scale+shift
+    for ang, scale, tx, ty, out_hw in [
+        (17.0, 1.3, 3.2, -2.1, (40, 44)),
+        (-31.0, 0.7, -4.5, 5.5, (52, 36)),
+    ]:
+        m = cv2.getRotationMatrix2D((20.0, 24.0), ang, scale)
+        m[:, 2] += (tx, ty)
+        ref = cv2.warpAffine(
+            img, m, (out_hw[1], out_hw[0]), flags=cv2.INTER_CUBIC,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=(0, 0, 0))
+        got = np.asarray(W.warp_affine(
+            jnp.asarray(img[None]), jnp.asarray(np.asarray(m)[None], jnp.float32),
+            out_hw, mode="bicubic"))[0]
+        # interior comparison: mask where all cubic taps are in-bounds
+        inv = cv2.invertAffineTransform(m)
+        ys, xs = np.meshgrid(np.arange(out_hw[0]), np.arange(out_hw[1]),
+                             indexing="ij")
+        sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+        sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+        interior = ((sx >= 2) & (sx < img.shape[1] - 3)
+                    & (sy >= 2) & (sy < img.shape[0] - 3))
+        d = np.abs(ref - got)[interior]
+        assert d.max() < 5e-3, f"cubic warp mismatch {d.max()} (ang={ang})"
+
+        # inverse paste-back direction
+        minv = cv2.invertAffineTransform(m)
+        ref2 = cv2.warpAffine(
+            ref, minv, (img.shape[1], img.shape[0]), flags=cv2.INTER_CUBIC,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=(0, 0, 0))
+        got2 = np.asarray(W.warp_affine(
+            jnp.asarray(ref[None]),
+            jnp.asarray(np.asarray(minv)[None], jnp.float32),
+            (img.shape[0], img.shape[1]), mode="bicubic"))[0]
+        # interior of the second warp
+        ys2, xs2 = np.meshgrid(np.arange(img.shape[0]),
+                               np.arange(img.shape[1]), indexing="ij")
+        sxx = m[0, 0] * xs2 + m[0, 1] * ys2 + m[0, 2]
+        syy = m[1, 0] * xs2 + m[1, 1] * ys2 + m[1, 2]
+        interior2 = ((sxx >= 2) & (sxx < out_hw[1] - 3)
+                     & (syy >= 2) & (syy < out_hw[0] - 3))
+        d2 = np.abs(ref2 - got2)[interior2]
+        assert d2.max() < 5e-3, f"inverse cubic warp mismatch {d2.max()}"

@@ -103,3 +103,58 @@ def test_frame_sharded_temporal_attention_matches_unsharded():
     with mesh:
         out = fn(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_guided_sampler_under_mesh_matches_single_device():
+    """The full guided sampler (stub denoiser + SRConv restore + pinning)
+    jitted with the video batch sharded over (data, frame) must equal the
+    unsharded run — GSPMD collectives preserve gaussian_diffusion.py:497-515
+    semantics (SURVEY §5.7 TPU mapping, VERDICT r1 item 4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from flair_tpu.diffusion import (
+        GuidanceConfig, guided_sample_loop, make_task_diffusion,
+    )
+    from flair_tpu.operators.factory import get_operator, make_restore_fn
+    from flair_tpu.parallel import make_mesh
+
+    d = make_task_diffusion("x8_bicubic", "3")
+    b, t, s = 2, 4, 16
+    op = get_operator("x8_bicubic", s)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (b, t, s, s, 3)) * 2 - 1
+    lr = op.A(x0.reshape(b * t, -1)).reshape(b * t, s // 8, s // 8, 3)
+    restore = make_restore_fn("x8_bicubic", op, lr)
+
+    def restore_fn(v):
+        return restore(
+            v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])
+        ).reshape(v.shape)
+
+    def model_fn(x, tt):
+        # deterministic stub with cross-frame coupling (rolls the frame
+        # axis) so frame sharding actually has to communicate
+        return 0.1 * x + 0.05 * jnp.roll(x, 1, axis=1)
+
+    pin_mask = jnp.zeros((b, t, 1, 1, 1), bool).at[:, :1].set(True)
+    pin_values = jnp.zeros_like(x0)
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+
+    def run(nz, pv):
+        return guided_sample_loop(
+            d, model_fn, nz, jax.random.PRNGKey(2),
+            GuidanceConfig(use_aux=False, w=0.85, rho=0.85),
+            restore_fn=restore_fn, pin_mask=pin_mask, pin_values=pv,
+        )
+
+    ref = jax.jit(run)(noise, pin_values)
+
+    mesh = make_mesh(8, axes=("data", "frame"), shape=(2, 4))
+    vid = NamedSharding(mesh, P("data", "frame"))
+    with mesh:
+        got = jax.jit(run, in_shardings=(vid, vid), out_shardings=vid)(
+            jax.device_put(noise, vid), jax.device_put(pin_values, vid)
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -194,3 +194,29 @@ def test_restore_video_face_fusion_and_vsrpp_weights():
     out_plain = restore_video(frames, cfg, model_apply, win=2, overlap=1)
     assert out_face.shape == out_plain.shape == (2, size, size, 3)
     assert not np.allclose(out_face, out_plain)  # face prior changed output
+
+
+def test_restore_video_pad_tail_matches_short_window():
+    """pad_tail=True (one compiled program per clip) must agree with the
+    reference-style short tail window on every real frame when the denoiser
+    has no temporal mixing (per-frame stub): the padded frames are dropped
+    at stitch time and the pinned overlap semantics are unchanged."""
+    import dataclasses
+
+    from flair_tpu.diffusion import make_task_diffusion
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=64, input_size=8, steps="4"
+    )
+    d = make_task_diffusion(cfg.task, cfg.steps)
+
+    def model_apply(x, t, low_res, rnn, w):
+        return 0.1 * x  # per-frame, no temporal mixing
+
+    frames = np.random.RandomState(2).rand(7, 8, 8, 3).astype(np.float32)
+    out_pad = restore_video(frames, cfg, model_apply, diffusion=d,
+                            win=4, overlap=2, pad_tail=True)
+    out_ref = restore_video(frames, cfg, model_apply, diffusion=d,
+                            win=4, overlap=2, pad_tail=False)
+    np.testing.assert_allclose(out_pad, out_ref, atol=1e-5)
