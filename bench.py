@@ -2,20 +2,22 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Measures the steady-state latency of ONE jitted guided DDPM step (UNet
-forward + SRConv data-consistency + FLAIR update, exactly the lax.scan body
-of flair_tpu.diffusion.sampler.guided_sample_loop) on the flagship
-BicubicUNet at 512², 10 frames, and reports frames/sec for the full 100-step
-window restoration (the honest demo workload, scripts/video_sample.py demo
-geometry). MFU is computed from the XLA-reported FLOPs of the compiled step
-against the chip's peak (TPU v5e: 197 TFLOP/s bf16).
+Measures the steady-state latency of ONE jitted guided DDPM step — the
+lax.scan body of flair_tpu.diffusion.sampler.guided_sample_loop — at the
+demo geometry (512², 10 frames, 100 respaced steps,
+scripts/video_sample.py:202-203,361-368):
 
-Tractability (round-1 bench timed out in compile):
-- persistent compilation cache at .jax_cache/ (first compile is slow; all
-  later runs — including the driver's — hit the cache);
-- params are materialised as zeros from jax.eval_shape (no init compile);
-- the timed unit is the single scanned step, so only one XLA program is
-  compiled.
+- ``per_step_ms``       BicubicUNet (x8_bicubic) + SRConv consistency;
+- ``per_step_ms_face``  same step inside the face window (τ..t_start):
+  + CodeFormer + ParseNet + affine crop/paste on device
+  (gaussian_diffusion.py:471-496 path);
+- ``per_step_ms_blur``  BlurUNet (gaussian) + pseudoSR consistency.
+
+Honesty rules (VERDICT r1): timing pulls a scalar to host every iteration
+(`block_until_ready` does not reliably synchronise through this machine's
+axon tunnel, PERF.md), minus the measured readback overhead; params and
+inputs are RANDOM (zero flows would give every deformable-conv patch
+anchor degenerate HBM locality that real flows don't have).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 driver-pinned target is ≥5× an A100's frames/sec. We report value / 0.1
@@ -39,10 +41,201 @@ _PEAKS = {
 }
 
 
+def _readback_overhead_ms() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x.sum())
+    z = jnp.zeros((8, 128), jnp.float32)
+    float(f(z))
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(f(z))
+        ts.append(time.time() - t0)
+    return min(ts) * 1e3
+
+
+def _time_step(compiled, args, iters, overhead_ms):
+    """Readback-timed: every iteration forces a scalar to host."""
+    ts = []
+    for i in range(iters):
+        t0 = time.time()
+        float(compiled(*args))
+        ts.append(time.time() - t0)
+    return min(ts) - overhead_ms / 1e3
+
+
+def _rand_params(shapes, seed=3, scale=0.02):
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    vals = [
+        jax.random.normal(k, s.shape, s.dtype) * jnp.asarray(scale, s.dtype)
+        for k, s in zip(keys, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+def _bicubic_step(size, frames, use_face):
+    """Build the jitted x8_bicubic guided step; returns (fn, args)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flair_tpu.diffusion import (
+        GuidanceConfig, guidance_tables, make_task_diffusion, p_sample,
+        sr3_noise_level,
+    )
+    from flair_tpu.models.sr3 import BicubicUNet
+    from flair_tpu.operators.factory import get_operator, make_restore_fn
+
+    scale = size / 512
+    model = BicubicUNet(
+        inner_channel=64, norm_groups=16, channel_mults=(1, 2, 4, 8, 16),
+        attn_res=(max(int(64 * scale), 4), max(int(32 * scale), 2)),
+        vsrpp_res=(int(512 * scale), int(256 * scale)), image_size=size,
+        res_blocks=1, num_frames=7, head_dim=64, temporal_attn=True,
+        cross_frame_module=True, dtype=jnp.bfloat16,
+    )
+    d = make_task_diffusion("x8_bicubic", "100")
+    cfg = GuidanceConfig(use_aux=use_face, rho=0.85, w=0.85)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, frames, size, size, 3), jnp.float32) * 2 - 1
+    lvl = jnp.full((1, frames), 0.5, jnp.float32)
+    shapes = jax.eval_shape(model.init, key, x, lvl, x)
+    params = _rand_params(shapes)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"# bicubic params: {n_params/1e6:.1f}M", file=sys.stderr)
+
+    op = get_operator("x8_bicubic", size)
+    lr = op.A(x.reshape(frames, -1)).reshape(frames, size // 8, size // 8, 3)
+    restore = make_restore_fn("x8_bicubic", op, lr)
+
+    def restore_fn(x0):
+        flat = x0.reshape((x0.shape[0] * x0.shape[1],) + x0.shape[2:])
+        return restore(flat).reshape(x0.shape)
+
+    face_fn = None
+    if use_face:
+        import numpy as np
+
+        from flair_tpu.face.helper import make_face_fn
+        from flair_tpu.models.codeformer import CodeFormer
+        from flair_tpu.models.parsenet import ParseNet
+
+        cf = CodeFormer(
+            latent_size=(size // 32) ** 2,
+            connect_list=tuple(
+                str(r) for r in (32, 64, 128, 256) if r <= size // 2
+            ),
+            dtype=jnp.bfloat16,
+        )
+        pn = ParseNet()
+        face = jnp.zeros((frames, size, size, 3), jnp.float32)
+        cf_params = _rand_params(jax.eval_shape(
+            lambda k, f: cf.init(k, f, w=1.0, adain=True), key, face))
+        pn_params = _rand_params(jax.eval_shape(pn.init, key, face))
+
+        def cf_apply(f):
+            return cf.apply(cf_params, f, w=1.0, adain=True)[0]
+
+        def pn_apply(f):
+            return pn.apply(pn_params, f)[0]
+
+        mats = np.tile(
+            np.asarray([[1.1, 0.08, 12.0], [-0.08, 1.1, -9.0]], np.float32),
+            (frames, 1, 1))
+        face_fn = make_face_fn(mats, cf_apply, pn_apply, face_size=size)
+
+    _, ws, gammas, start_ts = guidance_tables(d, cfg)
+    ws_dev, gammas_dev = jnp.asarray(ws), jnp.asarray(gammas)
+
+    def one_step(xx, t, key):
+        z = jax.random.normal(key, xx.shape, xx.dtype)
+        lv = jnp.full((1, frames), sr3_noise_level(d, t), jnp.float32)
+        model_out = model.apply(params, xx, lv, x, rnn_input=x)
+        sample, _ = p_sample(
+            d, model_out, xx, t, z,
+            w_t=jnp.take(ws_dev, t), gamma_t=jnp.take(gammas_dev, t),
+            rho=cfg.rho,
+            in_face_window=jnp.asarray(use_face),
+            clip_denoised=True, restore_fn=restore_fn, face_fn=face_fn,
+        )
+        return sample.astype(jnp.float32).mean()
+
+    args = (x, jnp.asarray(50, jnp.int32), jax.random.PRNGKey(1))
+    return jax.jit(one_step), args
+
+
+def _blur_step(size, frames):
+    """Build the jitted gaussian-task guided step (BlurUNet + pseudoSR)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flair_tpu.diffusion import (
+        GuidanceConfig, guidance_tables, make_task_diffusion, map_timesteps,
+        p_sample,
+    )
+    from flair_tpu.models.adm import BlurUNet
+    from flair_tpu.operators.factory import get_operator, make_restore_fn
+
+    scale = size / 512
+    model = BlurUNet(
+        image_size=size,
+        model_channels=128,
+        channel_mult=(0.5, 1, 1, 2, 2, 4, 4),
+        attention_resolutions=(16, 32, 64),
+        rnn_resolutions=(1, 2),
+        temporal_frames=5,
+        num_head_channels=64,
+        dtype=jnp.bfloat16,
+    )
+    d = make_task_diffusion("gaussian", "100")
+    cfg = GuidanceConfig(use_aux=False, rho=0.25, w=0.75, zeta=1.0,
+                         noise_level=2.55)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, frames, size, size, 3), jnp.float32) * 2 - 1
+    low = x
+    ts0 = jnp.zeros((1, frames), jnp.int32)
+    shapes = jax.eval_shape(model.init, key, x, ts0, low, rnn_input=low)
+    params = _rand_params(shapes)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"# blur params: {n_params/1e6:.1f}M", file=sys.stderr)
+
+    op = get_operator("gaussian", size)
+    lr = op.A(x.reshape(frames, size, size, 3))
+    restore = make_restore_fn("gaussian", op, lr)
+
+    def restore_fn(x0):
+        flat = x0.reshape((x0.shape[0] * x0.shape[1],) + x0.shape[2:])
+        return restore(flat).reshape(x0.shape)
+
+    _, ws, gammas, start_ts = guidance_tables(d, cfg)
+    ws_dev, gammas_dev = jnp.asarray(ws), jnp.asarray(gammas)
+
+    def one_step(xx, t, key):
+        z = jax.random.normal(key, xx.shape, xx.dtype)
+        tt = jnp.broadcast_to(map_timesteps(d, t), (1, frames))
+        model_out = model.apply(params, xx, tt, low, rnn_input=low)
+        sample, _ = p_sample(
+            d, model_out, xx, t, z,
+            w_t=jnp.take(ws_dev, t), gamma_t=jnp.take(gammas_dev, t),
+            rho=cfg.rho,
+            in_face_window=jnp.asarray(False),
+            clip_denoised=True, restore_fn=restore_fn,
+        )
+        return sample.astype(jnp.float32).mean()
+
+    args = (x, jnp.asarray(50, jnp.int32), jax.random.PRNGKey(1))
+    return jax.jit(one_step), args
+
+
 def main() -> int:
     size = int(os.environ.get("BENCH_SIZE", "512"))
     frames = int(os.environ.get("BENCH_FRAMES", "10"))
-    iters = int(os.environ.get("BENCH_STEPS", "5"))
+    iters = int(os.environ.get("BENCH_STEPS", "4"))
     total_steps = 100
 
     import jax
@@ -55,87 +248,15 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-    import jax.numpy as jnp
+    overhead = _readback_overhead_ms()
+    print(f"# readback overhead: {overhead:.1f} ms", file=sys.stderr)
 
-    from flair_tpu.diffusion import (
-        GuidanceConfig,
-        guidance_tables,
-        make_task_diffusion,
-        p_sample,
-        sr3_noise_level,
-    )
-    from flair_tpu.models.sr3 import BicubicUNet
-    from flair_tpu.operators.factory import get_operator, make_restore_fn
-
-    scale = size / 512
-    model = BicubicUNet(
-        inner_channel=64,
-        norm_groups=16,
-        channel_mults=(1, 2, 4, 8, 16),
-        attn_res=(max(int(64 * scale), 4), max(int(32 * scale), 2)),
-        vsrpp_res=(int(512 * scale), int(256 * scale)),
-        image_size=size,
-        res_blocks=1,
-        num_frames=7,
-        head_dim=64,
-        temporal_attn=True,
-        cross_frame_module=True,
-        dtype=jnp.bfloat16,
-    )
-
-    d = make_task_diffusion("x8_bicubic", str(total_steps))
-    cfg = GuidanceConfig(use_aux=False, rho=0.85, w=0.85)
-    rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((1, frames, size, size, 3), jnp.float32)
-    lvl = jnp.full((1, frames), 0.5, jnp.float32)
-
-    # zero params straight from shapes: avoids compiling a full init forward
-    shapes = jax.eval_shape(model.init, rng, x, lvl, x)
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes
-    )
-    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
-    print(f"# params: {n_params/1e6:.1f}M", file=sys.stderr)
-
-    op = get_operator("x8_bicubic", size)
-    lr = op.A(x.reshape(frames, -1)).reshape(1, frames, size // 8, size // 8, 3)
-    restore = make_restore_fn("x8_bicubic", op, lr.reshape(frames, *lr.shape[2:]))
-
-    def restore_fn(x0):
-        flat = x0.reshape((x0.shape[0] * x0.shape[1],) + x0.shape[2:])
-        return restore(flat).reshape(x0.shape)
-
-    def model_fn(xx, t):
-        lv = jnp.full((1, frames), sr3_noise_level(d, t), jnp.float32)
-        return model.apply(params, xx, lv, x, rnn_input=x)
-
-    _, ws, gammas, start_ts = guidance_tables(d, cfg)
-    ws_dev, gammas_dev = jnp.asarray(ws), jnp.asarray(gammas)
-
-    def one_step(xx, t, key):
-        """Exactly the guided_sample_loop scan body (sampler.py:199-221)."""
-        z = jax.random.normal(key, xx.shape, xx.dtype)
-        model_out = model_fn(xx, t)
-        sample, _ = p_sample(
-            d, model_out, xx, t, z,
-            w_t=jnp.take(ws_dev, t),
-            gamma_t=jnp.take(gammas_dev, t),
-            rho=cfg.rho,
-            in_face_window=jnp.asarray(False),
-            clip_denoised=True,
-            restore_fn=restore_fn,
-        )
-        return sample
-
-    jit_step = jax.jit(one_step, donate_argnums=(0,))
-    args = (x, jnp.asarray(total_steps // 2, jnp.int32), jax.random.PRNGKey(1))
-
+    # --- primary: BicubicUNet x8 step (driver metric) --------------------
+    fn, args = _bicubic_step(size, frames, use_face=False)
     t0 = time.time()
-    lowered = jit_step.lower(*args)
-    compiled = lowered.compile()
+    compiled = fn.lower(*args).compile()
     compile_s = time.time() - t0
-    print(f"# compile: {compile_s:.1f}s (cache: {cache_dir})", file=sys.stderr)
-
+    print(f"# bicubic compile: {compile_s:.1f}s", file=sys.stderr)
     flops = None
     try:
         ca = compiled.cost_analysis()
@@ -144,17 +265,29 @@ def main() -> int:
         flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
-
-    # warm-up execution then timing loop
-    out = compiled(x, args[1], args[2])
-    out.block_until_ready()
-    t0 = time.time()
-    cur = out
-    for i in range(iters):
-        cur = compiled(cur, args[1], jax.random.PRNGKey(2 + i))
-    cur.block_until_ready()
-    per_step = (time.time() - t0) / iters
+    float(compiled(*args))  # warm-up
+    per_step = _time_step(compiled, args, iters, overhead)
     fps = frames / (per_step * total_steps)
+
+    extras = {}
+    for tag, builder in (
+        ("face", lambda: _bicubic_step(size, frames, use_face=True)),
+        ("blur", lambda: _blur_step(size, frames)),
+    ):
+        if os.environ.get("BENCH_SKIP_" + tag.upper()):
+            continue
+        try:
+            f2, a2 = builder()
+            t0 = time.time()
+            c2 = f2.lower(*a2).compile()
+            print(f"# {tag} compile: {time.time()-t0:.1f}s", file=sys.stderr)
+            float(c2(*a2))
+            extras[f"per_step_ms_{tag}"] = round(
+                _time_step(c2, a2, max(2, iters // 2), overhead) * 1e3, 2)
+        except Exception as e:  # noqa: BLE001 — report partial results
+            extras[f"per_step_ms_{tag}"] = None
+            print(f"# {tag} step failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     kind = jax.devices()[0].device_kind
     peak = _PEAKS.get(kind, V5E_PEAK_BF16)
@@ -170,6 +303,7 @@ def main() -> int:
         "mfu": round(mfu, 4) if mfu else None,
         "compile_s": round(compile_s, 1),
         "device": kind,
+        **extras,
     }
     print(json.dumps(result))
     return 0

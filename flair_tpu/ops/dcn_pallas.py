@@ -62,6 +62,7 @@ def _dcn_tile_kernel(
     *,
     ntb: int, a: int, ga: int, kk: int, pty: int, ptx: int, xpack: int,
     ca: int, cg: int, cout: int, tpix: int, n_steps: int, ablate: str = "",
+    lane_slice: bool = False,
 ):
     i = pl.program_id(0)
     r = kk * tpix * ga
@@ -97,11 +98,12 @@ def _dcn_tile_kernel(
     buf = i % 2
 
     # static group mask: row (k, p, g) uses only channels of group g;
-    # lane j = parity·Ca + c
-    row_g = lax.broadcasted_iota(jnp.int32, (r, 128), 0) % ga
-    col_g = (lax.broadcasted_iota(jnp.int32, (r, 128), 1) % ca) // cg
+    # lane j = parity·Ca + c (or plain c when lane-sliced)
+    sw = ca if lane_slice else 128
+    row_g = lax.broadcasted_iota(jnp.int32, (r, sw), 0) % ga
+    col_g = (lax.broadcasted_iota(jnp.int32, (r, sw), 1) % ca) // cg
     gmask = (row_g == col_g).astype(jnp.bfloat16)
-    lane_par = lax.broadcasted_iota(jnp.int32, (r, 128), 1) // ca  # 0/1
+    lane_par = lax.broadcasted_iota(jnp.int32, (r, sw), 1) // ca  # 0/1
 
     row_i = lax.broadcasted_iota(jnp.int32, (uvp, 1), 0)
     u_row = (row_i // ptxp).astype(jnp.float32)       # (UVP, 1)
@@ -127,6 +129,8 @@ def _dcn_tile_kernel(
             patch = patch_ref[buf, t, ai].reshape(uvp, 128)
             dots = []
             for par in range(xpack if ablate != "onedot" else 1):
+                rhs = (patch[:, par * ca:(par + 1) * ca]
+                       if lane_slice and xpack > 1 else patch)
                 v_row = (colp * xpack + par).astype(jnp.float32)
                 if ablate == "nobuild":
                     w2 = jnp.broadcast_to(patch[:, 0:1], (uvp, r)
@@ -136,18 +140,20 @@ def _dcn_tile_kernel(
                     w2 = (wy * jnp.maximum(0.0, 1.0 - jnp.abs(rx - v_row))
                           ).astype(jnp.bfloat16)     # (UVP, R)
                 dots.append(lax.dot_general(
-                    w2, patch, (((0,), (0,)), ((), ())),
+                    w2, rhs, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ))  # (R, 128); lanes [par·Ca, par·Ca+Ca) are valid
+                ))  # (R, SW); without lane_slice only par's Ca lanes valid
             if xpack == 1 or ablate == "onedot":
                 samp = dots[0]
+            elif lane_slice:
+                samp = dots[0] + dots[1]
             else:
                 samp = jnp.where(lane_par == 0, dots[0], dots[1])
             samp_ref[t] = samp.astype(jnp.bfloat16) * gmask
 
         # taps contract against the full conv weight, batched over tiles
         for k in range(kk):
-            x_k = samp_ref[:, k * kb:(k + 1) * kb, :].reshape(ntb * kb, 128)
+            x_k = samp_ref[:, k * kb:(k + 1) * kb, :].reshape(ntb * kb, sw)
             y_k = lax.dot_general(
                 x_k, wall_ref[ai * kk + k], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -163,7 +169,7 @@ def _dcn_tile_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "patch", "ntb", "dilation", "interpret",
-                     "ablate"),
+                     "ablate", "lane_slice"),
 )
 def deform_conv2d_tile(
     x: Array,
@@ -179,6 +185,7 @@ def deform_conv2d_tile(
     dilation: int = 1,
     interpret: bool = False,
     ablate: str = "",
+    lane_slice: bool = False,
 ) -> Array:
     """Tile-anchored DCNv2 (Pallas). API matches ``deform_conv2d_patch``.
 
@@ -290,7 +297,7 @@ def deform_conv2d_tile(
     # duplicated per packing parity: wall[(a,k), par·Ca + c, e]
     wall = (weight.astype(dtp).reshape(kk, a, ca, cout)
             .transpose(1, 0, 2, 3).reshape(a * kk, ca, cout))
-    if xpack > 1:
+    if xpack > 1 and not lane_slice:
         wall = jnp.concatenate([wall] * xpack, axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -316,7 +323,7 @@ def deform_conv2d_tile(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, ntb, a, pty, ptx // xpack, 128), dtp),
-            pltpu.VMEM((ntb, r, 128), dtp),
+            pltpu.VMEM((ntb, r, ca if lane_slice else 128), dtp),
             pltpu.SemaphoreType.DMA((2, ntb, a)),
         ],
     )
@@ -325,6 +332,7 @@ def deform_conv2d_tile(
         _dcn_tile_kernel,
         ntb=ntb, a=a, ga=ga, kk=kk, pty=pty, ptx=ptx, xpack=xpack,
         ca=ca, cg=cg, cout=cout, tpix=tpix, n_steps=n_steps, ablate=ablate,
+        lane_slice=lane_slice,
     )
     out = pl.pallas_call(
         kernel,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 Array = jax.Array
 
@@ -94,6 +95,47 @@ def _sample_bicubic(img: Array, y: Array, x: Array, zero_pad: bool) -> Array:
     return out
 
 
+def _bilinear_patch_batched(img: Array, y: Array, x: Array) -> Array:
+    """Bilinear sample with zeros padding as ONE (2,2,C) patch gather.
+
+    Four per-pixel single-pixel gathers hit XLA's slow gather-emitter class
+    on TPU (small rows); one (2,2,C) patch per point keeps each gathered
+    row ≥128 B contiguous — the fast path (PERF.md / mosaic-gather-limits).
+    img (B, H, W, C); y/x (B, Ho, Wo) float coords. Out-of-image corners
+    contribute zero (grid_sample padding_mode='zeros').
+    """
+    b, h, w, c = img.shape
+    _, ho, wo = y.shape
+    cdt = jnp.float32
+    y0 = jnp.floor(y.astype(cdt))
+    x0 = jnp.floor(x.astype(cdt))
+    fy = (y.astype(cdt) - y0)[..., None]
+    fx = (x.astype(cdt) - x0)[..., None]
+    wy0 = (1 - fy) * ((y0 >= 0) & (y0 <= h - 1))[..., None]
+    wy1 = fy * ((y0 + 1 >= 0) & (y0 + 1 <= h - 1))[..., None]
+    wx0 = (1 - fx) * ((x0 >= 0) & (x0 <= w - 1))[..., None]
+    wx1 = fx * ((x0 + 1 >= 0) & (x0 + 1 <= w - 1))[..., None]
+
+    xp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    iy = jnp.clip(y0.astype(jnp.int32) + 1, 0, h).reshape(b, ho * wo)
+    ix = jnp.clip(x0.astype(jnp.int32) + 1, 0, w).reshape(b, ho * wo)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4), collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,),
+    )
+    patch = lax.gather(
+        xp, jnp.stack([iy, ix], axis=-1), dn, slice_sizes=(1, 2, 2, c),
+        mode=lax.GatherScatterMode.CLIP,
+    ).reshape(b, ho, wo, 2, 2, c)
+    dt = img.dtype
+    out = (patch[..., 0, 0, :] * (wy0 * wx0).astype(dt)
+           + patch[..., 0, 1, :] * (wy0 * wx1).astype(dt)
+           + patch[..., 1, 0, :] * (wy1 * wx0).astype(dt)
+           + patch[..., 1, 1, :] * (wy1 * wx1).astype(dt))
+    return out
+
+
 def grid_sample(
     img: Array,
     grid: Array,
@@ -116,6 +158,8 @@ def grid_sample(
         x = ((gx + 1) * w - 1) / 2
         y = ((gy + 1) * h - 1) / 2
     zero_pad = padding_mode == "zeros"
+    if mode == "bilinear" and zero_pad and grid.ndim == 4:
+        return _bilinear_patch_batched(img, y, x)
     sampler = {
         "bilinear": _sample_bilinear,
         "nearest": lambda im, yy, xx, zp: _gather_2d(

@@ -393,6 +393,7 @@ def test_restore_video_agrees_with_reference_sampler():
             guidance=GuidanceConfig(use_aux=False, w=w, rho=rho, tau=tau,
                                     zeta=zeta, noise_level=0.0),
             win=WIN, overlap=OV,
+            pad_tail=False,  # reference-exact short tail window
         )
     finally:
         _jax.random.normal = normal_orig
@@ -732,3 +733,204 @@ def test_amt_conversion_full_forward_parity():
     np.testing.assert_allclose(
         np.asarray(j_out), t_out.numpy().transpose(0, 1, 3, 4, 2), atol=1e-3,
         err_msg="amt interpolation mismatch")
+
+
+@pytest.mark.slow
+def test_full_system_agreement_real_models_face_prior_on():
+    """VERDICT r1 item 3: both pipelines end-to-end with REAL converted
+    weights — BicubicUNet denoiser + CodeFormer + ParseNet face prior ON
+    through the UNALIGNED crop→fuse→paste path (gaussian_diffusion.py:
+    471-496, face_restoration_helper.py:225-335) — at 512² with a tiny
+    UNet. Deterministic (rho=0, zeroed RNGs). First test to exercise the
+    SR3 noise-level conditioning (respace.py:161-165) through the full
+    sampler with a real denoiser, and the cv2-vs-device warp stack at the
+    pipeline level."""
+    torch = pytest.importorskip("torch")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    torch.cuda.is_available = lambda: True
+    try:
+        gd = _import_reference("guided_diffusion.gaussian_diffusion")
+        rsp = _import_reference("guided_diffusion.respace")
+        ru = _import_reference("guided_diffusion.restore_util")
+        frh_mod = _import_reference(
+            "guided_diffusion.facelib.utils.face_restoration_helper")
+        pn_mod = _import_reference("guided_diffusion.facelib.parsing.parsenet")
+        from guided_diffusion.codeformer import CodeFormer as RefCF
+        from guided_diffusion.sr3 import UNet as RefUNet
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    size, factor, T, WIN, OV, steps = 512, 8, 3, 3, 1, 3
+    rs = np.random.RandomState(0)
+    degraded01 = rs.rand(T, size // factor, size // factor, 3).astype(np.float32)
+
+    torch.manual_seed(0)
+    ref_unet = RefUNet(
+        in_channel=6, out_channel=3, inner_channel=32, norm_groups=16,
+        channel_mults=(1, 2), attn_res=(256,), vsrpp_res=(256,),
+        spatial_attn=False, temporal_attn=True, res_blocks=1, dropout=0.0,
+        image_size=size, cross_frame_module=True, num_frames=WIN, head_dim=8,
+    ).eval()
+    with torch.no_grad():
+        for _, p in ref_unet.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+    ref_cf = RefCF(dim_embd=64, n_head=4, n_layers=2, codebook_size=32).eval()
+    ref_pn = pn_mod.ParseNet(in_size=512, out_size=512, parsing_ch=19).eval()
+
+    helper = object.__new__(frh_mod.FaceRestoreHelper)
+    helper.face_size = (512, 512)
+    helper.device = torch.device("cpu")
+    helper.face_parse = ref_pn
+
+    from flair_tpu.models.codeformer import CodeFormer
+    from flair_tpu.models.parsenet import ParseNet
+    from flair_tpu.models.sr3 import BicubicUNet
+    from flair_tpu.utils.convert import (
+        convert_bicubic_unet, convert_codeformer, convert_parsenet,
+    )
+
+    unet_vars = convert_bicubic_unet(
+        {k: v.detach().numpy() for k, v in ref_unet.state_dict().items()},
+        channel_mults=(1, 2), res_blocks=1)
+    cf_vars = convert_codeformer(
+        {k: v.detach().numpy() for k, v in ref_cf.state_dict().items()},
+        dim_embd=64, n_head=4, n_layers=2, codebook_size=32)
+    pn_vars = convert_parsenet(
+        {k: v.detach().numpy() for k, v in ref_pn.state_dict().items()})
+    model = BicubicUNet(
+        inner_channel=32, norm_groups=16, channel_mults=(1, 2),
+        attn_res=(256,), vsrpp_res=(256,), image_size=size, res_blocks=1,
+        num_frames=WIN, head_dim=8, temporal_attn=True,
+        cross_frame_module=True,
+    )
+    cf = CodeFormer(dim_embd=64, n_head=4, n_layers=2, codebook_size=32)
+    pn = ParseNet()
+
+    # fixed similarity matrices: modest zoom+rotation about the centre
+    import cv2
+
+    mats = []
+    for i in range(WIN):
+        m = cv2.getRotationMatrix2D((256.0, 256.0), 5.0 + 2 * i, 1.15)
+        m[:, 2] += (6.0, -4.0)
+        mats.append(np.asarray(m, np.float32))
+    mats = np.stack(mats)
+
+    # ---- reference driver (video_sample.py:361-487) ----------------------
+    import torchvision.transforms.functional as VF
+
+    dcfg = dict(
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.FIXED_SMALL,
+        loss_type=gd.LossType.MSE, rescale_timesteps=False,
+    )
+    betas = gd.get_named_beta_schedule("face_bicubic", 2000)
+    ref_d = rsp.SpacedDiffusion(
+        use_timesteps=rsp.space_timesteps(2000, str(steps)), betas=betas,
+        **dcfg)
+
+    def bicubic_kernel(x, a=-0.5):
+        if abs(x) <= 1:
+            return (a + 2) * abs(x) ** 3 - (a + 3) * abs(x) ** 2 + 1
+        if 1 < abs(x) < 2:
+            return a * abs(x) ** 3 - 5 * a * abs(x) ** 2 + 8 * a * abs(x) - 4 * a
+        return 0
+
+    k = np.zeros(factor * 4)
+    for i in range(factor * 4):
+        k[i] = bicubic_kernel((1 / factor) * (i - np.floor(factor * 4 / 2) + 0.5))
+    k = k / k.sum()
+    A = ru.SRConv(torch.from_numpy(k).float(), 3, size, torch.device("cpu"),
+                  stride=factor)
+
+    def aux_model(face, t, xt):
+        with torch.no_grad():
+            return ref_cf(face, w=1.0, adain=True)[0]
+
+    w, rho, zeta, tau = 0.6, 0.0, -1, 0
+    dg = torch.from_numpy(degraded01.transpose(0, 3, 1, 2))[None]
+    randn_orig = torch.randn
+    torch.randn = lambda *a, **kw: torch.zeros(
+        *a, **{k_: v for k_, v in kw.items() if k_ != "generator"})
+    torch.randn_like = lambda x: torch.zeros_like(x)
+    try:
+        sl = dg[:, :T]
+        init = VF.resize(sl.squeeze(0), (size, size),
+                         VF.InterpolationMode.BICUBIC).clamp(0, 1)[None]
+        sl_pm = (sl - 0.5) / 0.5
+        init_pm = (init - 0.5) / 0.5
+        noise = ref_d.q_sample(
+            init_pm.reshape(T, 3, size, size),
+            torch.full((T,), ref_d.num_timesteps - 1, dtype=torch.long),
+        )
+        mk = {"low_res_input": init_pm, "num_frames": T,
+              "rnn_input": init_pm}
+        rfn = lambda x: A.A_pinv(
+            A.A(x.reshape(x.shape[0], -1)) - sl_pm.reshape(x.shape[0], -1)
+        ).reshape(*x.size())
+        with torch.no_grad():
+            out = ref_d.sample(
+                ref_unet, noise, model_kwargs=mk, restore_fn=rfn,
+                face_restore_helper=helper, affine_matrices=list(mats),
+                aux_model=aux_model, post_fn=None, clip_denoised=True,
+                sample_mode="ddpm", w=w, tau=tau, rho=rho, noise_level=0.0,
+                prev_recon=None, zeta=zeta, t_start=-1, aligned=False,
+            )
+        out = out.reshape(1, T, 3, size, size)
+        ref_out = ((out.clamp(-1, 1) + 1) / 2).numpy()[0].transpose(0, 2, 3, 1)
+    finally:
+        torch.randn = randn_orig
+        del torch.randn_like
+
+    # ---- our pipeline ----------------------------------------------------
+    import dataclasses
+
+    import jax as _jax
+
+    from flair_tpu.diffusion import GuidanceConfig, make_task_diffusion
+    from flair_tpu.face.helper import make_face_fn
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+    from flair_tpu.pipeline.wrappers import wrap_bicubic_model
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=size, steps=str(steps),
+        w=w, rho=rho, zeta=zeta, tau=tau, noise_level=0.0,
+        vsrpp_bg_weight=0.0,
+    )
+    d = make_task_diffusion(cfg.task, cfg.steps)
+    model_apply = wrap_bicubic_model(d, model, unet_vars)
+
+    def cf_apply(frames):
+        return cf.apply(cf_vars, frames, w=1.0, adain=True)[0]
+
+    def pn_apply(frames):
+        return pn.apply(pn_vars, frames)[0]
+
+    face_fn = make_face_fn(mats, cf_apply, pn_apply, face_size=size)
+
+    normal_orig = _jax.random.normal
+
+    def zeros_normal(key, shape=None, dtype=jnp.float32):
+        return jnp.zeros(shape if shape is not None else (), dtype)
+
+    _jax.random.normal = zeros_normal
+    try:
+        ours = restore_video(
+            degraded01, cfg, model_apply, face_fn=face_fn,
+            guidance=GuidanceConfig(use_aux=True, w=w, rho=rho, tau=tau,
+                                    zeta=zeta, noise_level=0.0),
+            win=WIN, overlap=OV, pad_tail=False,
+        )
+    finally:
+        _jax.random.normal = normal_orig
+
+    assert ours.shape == ref_out.shape == (T, size, size, 3)
+    diff = np.abs(np.asarray(ours) - ref_out)
+    # the face path crosses cv2 (reference, host) vs device warps (ours);
+    # sub-pixel cubic differences at crop borders survive the blurred mask,
+    # so assert a tight mean and a loose max
+    assert diff.mean() < 2e-3, f"mean divergence {diff.mean()}"
+    assert diff.max() < 6e-2, f"max divergence {diff.max()}"
