@@ -169,6 +169,8 @@ def make_face_fn(
         restored = codeformer_apply(crop)
 
         if parsenet_apply is not None:
+            # the reference parses the raw CodeFormer output
+            # (face_restoration_helper.py:265) ...
             logits = parsenet_apply(restored)
             classes = jnp.argmax(logits, axis=-1)
             mask = jnp.take(
@@ -187,8 +189,17 @@ def make_face_fn(
 
         # inverse paste (face_restoration_helper.py:314-335):
         # cv2.warpAffine(face, invertAffineTransform(M)) — the inverse matrix
-        # is the src→dst map of the paste warp.
-        inv_face = warp_affine(restored, _invert_batch(m), (h, w), mode="bicubic")
+        # is the src→dst map of the paste warp. ParseNet sees the RAW
+        # CodeFormer output (:265), but the warp input is the CLAMPED face
+        # (the 0..1 normalize at :267-271 clips), and the warped result is
+        # clamped again (:326-333 — cubic overshoot clipped to [-1,1]).
+        inv_face = jnp.clip(
+            warp_affine(
+                jnp.clip(restored, -1, 1), _invert_batch(m), (h, w),
+                mode="bicubic",
+            ),
+            -1, 1,
+        )
         inv_mask = warp_affine(mask, _invert_batch(m), (h, w), mode="bicubic")
 
         fused = frames * (1.0 - inv_mask) + inv_face * inv_mask

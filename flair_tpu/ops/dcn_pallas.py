@@ -116,6 +116,14 @@ def _dcn_tile_kernel(
                       ).astype(out_ref.dtype)
         return
 
+    # wait for the whole step's patches BEFORE any compute: a semaphore
+    # wait between compute units serializes the scheduler — with all waits
+    # hoisted, the per-unit VPU window builds and MXU dots can overlap
+    if not nodma:
+        for t in range(ntb):
+            for ai in range(a):
+                dma(buf, t, ai, anchors_ref).wait()
+
     for ai in range(a):
         for t in range(ntb):
             s = t * a + ai
@@ -124,8 +132,6 @@ def _dcn_tile_kernel(
             mw = mw_ref[0, s, :][None, :]
             wy = (jnp.maximum(0.0, 1.0 - jnp.abs(ry - u_row))
                   * mw) if ablate != "nobuild" else None
-            if not nodma:
-                dma(buf, t, ai, anchors_ref).wait()
             patch = patch_ref[buf, t, ai].reshape(uvp, 128)
             dots = []
             for par in range(xpack if ablate != "onedot" else 1):
