@@ -152,10 +152,17 @@ def _bicubic_step(size, frames, use_face):
     _, ws, gammas, start_ts = guidance_tables(d, cfg)
     ws_dev, gammas_dev = jnp.asarray(ws), jnp.asarray(gammas)
 
+    # SPyNet flows depend only on rnn_input (fixed per window): computed
+    # once per 100-step window, not per step (pipeline/video.py does the
+    # same hoist; the once-per-window cost is reported separately)
+    flows = jax.jit(lambda r: model.apply(
+        params, r, jnp.zeros(r.shape[:2], jnp.float32), r, rnn_input=r,
+        compute_flows_only=True))(x)
+
     def one_step(xx, t, key):
         z = jax.random.normal(key, xx.shape, xx.dtype)
         lv = jnp.full((1, frames), sr3_noise_level(d, t), jnp.float32)
-        model_out = model.apply(params, xx, lv, x, rnn_input=x)
+        model_out = model.apply(params, xx, lv, x, rnn_input=x, flows=flows)
         sample, _ = p_sample(
             d, model_out, xx, t, z,
             w_t=jnp.take(ws_dev, t), gamma_t=jnp.take(gammas_dev, t),
@@ -215,10 +222,14 @@ def _blur_step(size, frames):
     _, ws, gammas, start_ts = guidance_tables(d, cfg)
     ws_dev, gammas_dev = jnp.asarray(ws), jnp.asarray(gammas)
 
+    flows = jax.jit(lambda r: model.apply(
+        params, r, jnp.zeros(r.shape[:2], jnp.float32), r, rnn_input=r,
+        compute_flows_only=True))(low)
+
     def one_step(xx, t, key):
         z = jax.random.normal(key, xx.shape, xx.dtype)
         tt = jnp.broadcast_to(map_timesteps(d, t), (1, frames))
-        model_out = model.apply(params, xx, tt, low, rnn_input=low)
+        model_out = model.apply(params, xx, tt, low, rnn_input=low, flows=flows)
         sample, _ = p_sample(
             d, model_out, xx, t, z,
             w_t=jnp.take(ws_dev, t), gamma_t=jnp.take(gammas_dev, t),

@@ -68,10 +68,17 @@ class BlurUNet(nn.Module):
         enable_cross_frames: bool = True,
         vsrpp_weights: Optional[Array] = None,
         deterministic: bool = True,
+        flows: Optional[dict] = None,
+        compute_flows_only: bool = False,
     ) -> Array:
         """x: (B, T, H, W, 3); timesteps: (B, T) (original-schedule indices);
         low_res_input: (B, T, H, W, 3); rnn_input defaults to low_res_input.
-        Returns (B, T, H, W, out_channels) — ε and variance fractions."""
+        Returns (B, T, H, W, out_channels) — ε and variance fractions.
+
+        ``flows``: precomputed {res: (fwd, bwd)}; they depend only on
+        ``rnn_input`` (constant across a window's sampler steps), so callers
+        hoist them out of the scan. ``compute_flows_only=True`` returns just
+        the dict under the same param scope."""
         b, t = x.shape[0], x.shape[1]
         mc = self.model_channels
         cross = self.temporal_block and enable_cross_frames
@@ -86,20 +93,25 @@ class BlurUNet(nn.Module):
         emb = emb.reshape(b, t, 4 * mc)
 
         # flows once per rnn resolution (unet_new.py:1334-1348)
-        flows = {}
-        if cross and t > 1:
-            spynet = SPyNet(name="spynet")
-            need_res = [self.image_size // int(s) for s in self.rnn_resolutions]
-            for res in need_res:
-                fi = rnn_input.astype(jnp.float32)
-                if fi.shape[2] != res:
-                    fi = resize_bicubic(fi, (res, res))
-                lq01 = jnp.clip((fi + 1) / 2, 0, 1)
-                l1 = lq01[:, :-1].reshape(b * (t - 1), res, res, 3)
-                l2 = lq01[:, 1:].reshape(b * (t - 1), res, res, 3)
-                fwd = spynet(l2, l1).reshape(b, t - 1, res, res, 2)
-                bwd = spynet(l1, l2).reshape(b, t - 1, res, res, 2)
-                flows[res] = (fwd, bwd)
+        if flows is None or compute_flows_only:
+            flows = {}
+            if cross and t > 1:
+                spynet = SPyNet(name="spynet")
+                need_res = [
+                    self.image_size // int(s) for s in self.rnn_resolutions
+                ]
+                for res in need_res:
+                    fi = rnn_input.astype(jnp.float32)
+                    if fi.shape[2] != res:
+                        fi = resize_bicubic(fi, (res, res))
+                    lq01 = jnp.clip((fi + 1) / 2, 0, 1)
+                    l1 = lq01[:, :-1].reshape(b * (t - 1), res, res, 3)
+                    l2 = lq01[:, 1:].reshape(b * (t - 1), res, res, 3)
+                    fwd = spynet(l2, l1).reshape(b, t - 1, res, res, 2)
+                    bwd = spynet(l1, l2).reshape(b, t - 1, res, res, 2)
+                    flows[res] = (fwd, bwd)
+        if compute_flows_only:
+            return flows
 
         # remat wrappers: recompute block activations in the backward pass
         # (512² trainability; enable flags/deterministic are trace-static)

@@ -135,10 +135,19 @@ class BicubicUNet(nn.Module):
         enable_cross_frames: bool = True,
         vsrpp_weights: Optional[Array] = None,
         deterministic: bool = True,
+        flows: Optional[dict] = None,
+        compute_flows_only: bool = False,
     ) -> Array:
         """x: (B, T, H, W, 3); noise_level: (B, T) continuous level in (0,1];
         low_res_input: (B, T, H, W, 3) conditioning (pre-upscaled);
-        rnn_input: flow source (defaults to low_res_input)."""
+        rnn_input: flow source (defaults to low_res_input).
+
+        ``flows``: precomputed {res: (fwd, bwd)} dict. The flows depend only
+        on ``rnn_input``, which is CONSTANT across all guided sampler steps
+        of a window — computing them once outside the scan and passing them
+        here removes the per-step SPyNet cost (the reference recomputes them
+        every step, unet.py:531-595). ``compute_flows_only=True`` returns
+        just that dict (same param scope, so one weight tree serves both)."""
         b, t = x.shape[0], x.shape[1]
         if rnn_input is None:
             rnn_input = low_res_input
@@ -155,22 +164,25 @@ class BicubicUNet(nn.Module):
 
         # flows, once per VSR++ resolution (shared SPyNet; sr3.py:340-341)
         cross = self.cross_frame_module and enable_cross_frames
-        flows = {}
-        if cross and len(self.vsrpp_res) > 0 and t > 1:
-            spynet = SPyNet(name="spynet")
-            lq01 = jnp.clip((rnn_input.astype(jnp.float32) + 1) / 2, 0, 1)
-            for res in self.vsrpp_res:
-                if lq01.shape[2] != res:
-                    # reference downsizes with antialiased bilinear
-                    # (unet.py:543-550) before computing flows
-                    lq = resize_bilinear_aa(lq01, (res, res))
-                else:
-                    lq = lq01
-                l1 = lq[:, :-1].reshape(b * (t - 1), res, res, 3)
-                l2 = lq[:, 1:].reshape(b * (t - 1), res, res, 3)
-                fwd = spynet(l2, l1).reshape(b, t - 1, res, res, 2)
-                bwd = spynet(l1, l2).reshape(b, t - 1, res, res, 2)
-                flows[res] = (fwd, bwd)
+        if flows is None or compute_flows_only:
+            flows = {}
+            if cross and len(self.vsrpp_res) > 0 and t > 1:
+                spynet = SPyNet(name="spynet")
+                lq01 = jnp.clip((rnn_input.astype(jnp.float32) + 1) / 2, 0, 1)
+                for res in self.vsrpp_res:
+                    if lq01.shape[2] != res:
+                        # reference downsizes with antialiased bilinear
+                        # (unet.py:543-550) before computing flows
+                        lq = resize_bilinear_aa(lq01, (res, res))
+                    else:
+                        lq = lq01
+                    l1 = lq[:, :-1].reshape(b * (t - 1), res, res, 3)
+                    l2 = lq[:, 1:].reshape(b * (t - 1), res, res, 3)
+                    fwd = spynet(l2, l1).reshape(b, t - 1, res, res, 2)
+                    bwd = spynet(l1, l2).reshape(b, t - 1, res, res, 2)
+                    flows[res] = (fwd, bwd)
+        if compute_flows_only:
+            return flows
 
         def level_flags(res):
             return dict(

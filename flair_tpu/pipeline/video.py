@@ -179,6 +179,16 @@ def restore_video(
     outputs = [None] * t_all
     prev_recon = None  # (1, overlap, H, W, 3) tail of previous window
 
+    # SPyNet flows depend only on rnn_input (fixed per window): jit once,
+    # compute once per window, pass into the scanned sampler (the reference
+    # recomputes identical flows inside every denoiser evaluation,
+    # unet.py:531-595 / unet_new.py:1283-1348)
+    flows_jit = (
+        jax.jit(model_apply.flows_fn)
+        if hasattr(model_apply, "flows_fn")
+        else None
+    )
+
     for wi, (start, length) in enumerate(window_slices(t_all, win, overlap)):
         sl = frames[start : start + length][None]  # (1, Tw, h, w, 3) in [0,1]
         if pad_tail and length < win:
@@ -266,8 +276,16 @@ def restore_video(
             pin_mask = jnp.asarray(mask, bool)
             pin_values = jnp.zeros_like(x_t).at[:, :overlap].set(prev_recon)
 
-        def model_fn(x, t):
-            return model_apply(x, t, low_res, rnn_input, vsrpp_weights)
+        flows = None if flows_jit is None else flows_jit(rnn_input)
+
+        if flows is not None:
+            def model_fn(x, t):
+                return model_apply(
+                    x, t, low_res, rnn_input, vsrpp_weights, flows
+                )
+        else:
+            def model_fn(x, t):
+                return model_apply(x, t, low_res, rnn_input, vsrpp_weights)
 
         sample = guided_sample_loop(
             d,

@@ -110,3 +110,75 @@ def test_blur_unet_forward():
     assert np.isfinite(np.asarray(out)).all()
     out_off = model.apply(params, x, ts, lr, enable_cross_frames=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_off), atol=1e-4)
+
+
+def _perturb(params, scale=0.05, seed=3):
+    """Break the zero-init identity so flows actually influence the output."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rs = np.random.RandomState(seed)
+    leaves = [
+        l + jnp.asarray(rs.randn(*l.shape).astype(np.float32)) * scale
+        for l in leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def test_hoisted_flows_match_inline_bicubic():
+    """flows= (precomputed once per window) must equal the inline SPyNet
+    path bit-for-bit: the sampler hoists them out of its 100-step scan."""
+    from flair_tpu.models.sr3 import BicubicUNet
+
+    model = BicubicUNet(
+        inner_channel=32,
+        norm_groups=16,
+        channel_mults=(1, 2),
+        attn_res=(16,),
+        vsrpp_res=(32,),
+        image_size=32,
+        res_blocks=1,
+        num_frames=7,
+        head_dim=8,
+    )
+    b, t = 1, 3
+    x = rand(b, t, 32, 32, 3, seed=7)
+    lr = rand(b, t, 32, 32, 3, seed=8) * 0.1
+    lvl = jnp.full((b, t), 0.5)
+    params = _perturb(model.init(jax.random.PRNGKey(0), x, lvl, lr))
+    out_inline = model.apply(params, x, lvl, lr)
+    flows = model.apply(
+        params, lr, jnp.zeros((b, t)), lr, rnn_input=lr,
+        compute_flows_only=True,
+    )
+    assert set(flows) == {32}
+    out_hoisted = model.apply(params, x, lvl, lr, flows=flows)
+    np.testing.assert_array_equal(np.asarray(out_inline), np.asarray(out_hoisted))
+
+
+def test_hoisted_flows_match_inline_blur():
+    from flair_tpu.models.adm import BlurUNet
+
+    model = BlurUNet(
+        image_size=32,
+        in_channels=6,
+        model_channels=64,
+        out_channels=6,
+        num_res_blocks=1,
+        attention_resolutions=(2,),
+        rnn_resolutions=(1,),
+        channel_mult=(0.5, 1),
+        num_head_channels=32,
+        temporal_frames=5,
+    )
+    b, t = 1, 3
+    x = rand(b, t, 32, 32, 3, seed=9)
+    lr = rand(b, t, 32, 32, 3, seed=10) * 0.1
+    ts = jnp.array([[5, 5, 5]], jnp.int32)
+    params = _perturb(model.init(jax.random.PRNGKey(0), x, ts, lr))
+    out_inline = model.apply(params, x, ts, lr)
+    flows = model.apply(
+        params, lr, jnp.zeros((b, t), jnp.int32), lr, rnn_input=lr,
+        compute_flows_only=True,
+    )
+    assert set(flows) == {32}
+    out_hoisted = model.apply(params, x, ts, lr, flows=flows)
+    np.testing.assert_array_equal(np.asarray(out_inline), np.asarray(out_hoisted))

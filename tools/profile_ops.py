@@ -122,3 +122,46 @@ if sel("unet") or sel("step"):
     if sel("unet"):
         timeit("BicubicUNet fwd 512^2 x10f",
                lambda p, x, l: model.apply(p, x, l, x, rnn_input=x), params, x, lvl)
+
+if sel("tile"):
+    # Pallas tile-DCN lever sweep (PERF.md "next levers"): lane_slice halves
+    # dot MACs when xpack>1 (ca=64); (4,4)/(20,32) amortises per-step fixed
+    # costs over 4x the pixels; ntb trades DMA batch vs scratch.
+    from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+    for (h, cin, cout, M) in [(512, 128, 64, 5), (512, 128, 64, 10),
+                              (256, 256, 128, 5)]:
+        b, g, kk = 1, 16, 9
+        x = jax.random.normal(ks[0], (b, h, h, cin), jnp.bfloat16)
+        flow = jax.random.normal(ks[1], (b, h, h, 2, 2), jnp.float32) * 8.0
+        # smooth flows (tile anchors assume local smoothness)
+        flow = jax.image.resize(flow[:, ::8, ::8], flow.shape, "linear")
+        res = jnp.tanh(jax.random.normal(ks[2], (b, h, h, g, kk, 2),
+                                         jnp.float32) * 0.3) * M
+        off = jnp.repeat(flow, g // 2, axis=3)[:, :, :, :, None, :] + res
+        mask = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, h, g, kk),
+                                                jnp.float32))
+        wgt = jax.random.normal(ks[4], (3, 3, cin, cout), jnp.bfloat16) * 0.05
+        anchor = flow
+        pty = 16 if M <= 5 else 24
+        cfgs = [
+            ((2, 4), (pty, 32), 16, False),
+            ((2, 4), (pty, 32), 16, True),
+            ((4, 4), (pty + 4, 32), 16, False),
+            ((4, 4), (pty + 4, 32), 16, True),
+            ((4, 4), (pty + 4, 32), 8, True),
+            ((2, 4), (pty, 32), 32, True),
+        ]
+        for tile, patch, ntb, lane in cfgs:
+            name = (f"dcn_tile {h}^2 cin{cin} M{M} t{tile[0]}x{tile[1]} "
+                    f"p{patch[0]}x{patch[1]} ntb{ntb}"
+                    + (" lane" if lane else ""))
+            try:
+                timeit(name,
+                       lambda x, anchor, off, wgt, mask, t=tile, p=patch,
+                              n=ntb, l=lane: deform_conv2d_tile(
+                           x, anchor, off, wgt, mask=mask, tile=t, patch=p,
+                           ntb=n, lane_slice=l),
+                       x, anchor, off, wgt, mask)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:46s} FAILED {type(e).__name__}: {e}",
+                      flush=True)
