@@ -2,9 +2,10 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Measures the steady-state latency of ONE jitted guided DDPM step — the
-lax.scan body of flair_tpu.diffusion.sampler.guided_sample_loop — at the
-demo geometry (512², 10 frames, 100 respaced steps,
+Measures the steady-state latency of ONE guided DDPM step exactly as the
+pipeline dispatches it — the two-program pair (jitted denoiser forward +
+jitted guidance update, flair_tpu.diffusion.sampler.guided_sample_steps)
+— at the demo geometry (512², 10 frames, 100 respaced steps,
 scripts/video_sample.py:202-203,361-368):
 
 - ``per_step_ms``       BicubicUNet (x8_bicubic) + SRConv consistency;
@@ -80,16 +81,28 @@ def _rand_params(shapes, seed=3, scale=0.02):
 
 
 def _bicubic_step(size, frames, use_face):
-    """Build the jitted x8_bicubic guided step; returns (fn, args)."""
+    """Build the x8_bicubic guided step EXACTLY as the pipeline runs it:
+    two jitted programs (denoiser forward via wrap_bicubic_model.apply_p,
+    guidance update via make_guided_update) with params, conditioning,
+    observations, face weights and flows all as runtime ARGUMENTS.
+
+    Closure-captured arrays would lower as constants embedded in the HLO —
+    half a GB of proto for the 236M-param model — and this machine's remote
+    XLA compile service dies on monolithic programs that large (PERF.md);
+    the split also shares its compile cache with the CLI pipeline.
+
+    Returns (step, args) where step(*args) runs model+update and returns
+    the sample (device array).
+    """
     import jax
     import jax.numpy as jnp
 
     from flair_tpu.diffusion import (
-        GuidanceConfig, guidance_tables, make_task_diffusion, p_sample,
-        sr3_noise_level,
+        GuidanceConfig, make_guided_update, make_task_diffusion,
     )
     from flair_tpu.models.sr3 import BicubicUNet
-    from flair_tpu.operators.factory import get_operator, make_restore_fn
+    from flair_tpu.operators.factory import get_operator, make_restore_fn_p
+    from flair_tpu.pipeline.wrappers import wrap_bicubic_model
 
     scale = size / 512
     model = BicubicUNet(
@@ -111,17 +124,18 @@ def _bicubic_step(size, frames, use_face):
 
     op = get_operator("x8_bicubic", size)
     lr = op.A(x.reshape(frames, -1)).reshape(frames, size // 8, size // 8, 3)
-    restore = make_restore_fn("x8_bicubic", op, lr)
+    restore_p = make_restore_fn_p("x8_bicubic", op)
 
-    def restore_fn(x0):
+    def restore_fn_p(x0, degraded):
         flat = x0.reshape((x0.shape[0] * x0.shape[1],) + x0.shape[2:])
-        return restore(flat).reshape(x0.shape)
+        return restore_p(flat, degraded).reshape(x0.shape)
 
-    face_fn = None
+    face_fn_param = None
+    face_args = None
     if use_face:
         import numpy as np
 
-        from flair_tpu.face.helper import make_face_fn
+        from flair_tpu.face.helper import make_face_fn_p
         from flair_tpu.models.codeformer import CodeFormer
         from flair_tpu.models.parsenet import ParseNet
 
@@ -137,56 +151,59 @@ def _bicubic_step(size, frames, use_face):
         cf_params = _rand_params(jax.eval_shape(
             lambda k, f: cf.init(k, f, w=1.0, adain=True), key, face))
         pn_params = _rand_params(jax.eval_shape(pn.init, key, face))
-
-        def cf_apply(f):
-            return cf.apply(cf_params, f, w=1.0, adain=True)[0]
-
-        def pn_apply(f):
-            return pn.apply(pn_params, f)[0]
-
-        mats = np.tile(
+        mats = jnp.asarray(np.tile(
             np.asarray([[1.1, 0.08, 12.0], [-0.08, 1.1, -9.0]], np.float32),
-            (frames, 1, 1))
-        face_fn = make_face_fn(mats, cf_apply, pn_apply, face_size=size)
+            (frames, 1, 1)))
 
-    _, ws, gammas, start_ts = guidance_tables(d, cfg)
-    ws_dev, gammas_dev = jnp.asarray(ws), jnp.asarray(gammas)
+        def face_fn_param(x0, xt, mats_dev, cfp, pnp):
+            fn_p = make_face_fn_p(
+                lambda f: cf.apply(cfp, f, w=1.0, adain=True)[0],
+                lambda f: pn.apply(pnp, f)[0],
+                face_size=size,
+            )
+            return fn_p(x0, xt, mats_dev)
 
-    # SPyNet flows depend only on rnn_input (fixed per window): computed
-    # once per 100-step window, not per step (pipeline/video.py does the
-    # same hoist; the once-per-window cost is reported separately)
-    flows = jax.jit(lambda r: model.apply(
-        params, r, jnp.zeros(r.shape[:2], jnp.float32), r, rnn_input=r,
-        compute_flows_only=True))(x)
+        face_args = (mats, cf_params, pn_params)
 
-    def one_step(xx, t, key):
-        z = jax.random.normal(key, xx.shape, xx.dtype)
-        lv = jnp.full((1, frames), sr3_noise_level(d, t), jnp.float32)
-        model_out = model.apply(params, xx, lv, x, rnn_input=x, flows=flows)
-        sample, _ = p_sample(
-            d, model_out, xx, t, z,
-            w_t=jnp.take(ws_dev, t), gamma_t=jnp.take(gammas_dev, t),
-            rho=cfg.rho,
-            in_face_window=jnp.asarray(use_face),
-            clip_denoised=True, restore_fn=restore_fn, face_fn=face_fn,
-        )
-        return sample.astype(jnp.float32).mean()
+    apply = wrap_bicubic_model(d, model, params)
+    flows = jax.jit(apply.flows_fn)(x)
+    jit_apply = jax.jit(apply.apply_p)
+    update = jax.jit(make_guided_update(
+        d, cfg, restore_fn=restore_fn_p, face_fn=face_fn_param))
+    readout = jax.jit(lambda s: s.astype(jnp.float32).mean())
 
-    args = (x, jnp.asarray(50, jnp.int32), jax.random.PRNGKey(1))
-    return jax.jit(one_step), args
+    def step(params, xx, cond, lr_obs, t, key, flows, face_args):
+        model_out = jit_apply(params, xx, t, cond, cond, None, flows)
+        sample, _ = update(xx, model_out, t, key, None, None,
+                           (lr_obs,), face_args)
+        return readout(sample)
+
+    args = (params, x, x, lr, jnp.asarray(50, jnp.int32),
+            jax.random.PRNGKey(1), flows, face_args)
+
+    def flops_fn():
+        c = jit_apply.lower(params, x, jnp.asarray(50, jnp.int32), x, x,
+                            None, flows).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+
+    return step, args, flops_fn
 
 
 def _blur_step(size, frames):
-    """Build the jitted gaussian-task guided step (BlurUNet + pseudoSR)."""
+    """gaussian-task guided step (BlurUNet + pseudoSR), two-program form —
+    see _bicubic_step for why everything enters as arguments."""
     import jax
     import jax.numpy as jnp
 
     from flair_tpu.diffusion import (
-        GuidanceConfig, guidance_tables, make_task_diffusion, map_timesteps,
-        p_sample,
+        GuidanceConfig, make_guided_update, make_task_diffusion,
     )
     from flair_tpu.models.adm import BlurUNet
-    from flair_tpu.operators.factory import get_operator, make_restore_fn
+    from flair_tpu.operators.factory import get_operator, make_restore_fn_p
+    from flair_tpu.pipeline.wrappers import wrap_blur_model
 
     scale = size / 512
     model = BlurUNet(
@@ -213,34 +230,36 @@ def _blur_step(size, frames):
 
     op = get_operator("gaussian", size)
     lr = op.A(x.reshape(frames, size, size, 3))
-    restore = make_restore_fn("gaussian", op, lr)
+    restore_p = make_restore_fn_p("gaussian", op)
 
-    def restore_fn(x0):
+    def restore_fn_p(x0, degraded):
         flat = x0.reshape((x0.shape[0] * x0.shape[1],) + x0.shape[2:])
-        return restore(flat).reshape(x0.shape)
+        return restore_p(flat, degraded).reshape(x0.shape)
 
-    _, ws, gammas, start_ts = guidance_tables(d, cfg)
-    ws_dev, gammas_dev = jnp.asarray(ws), jnp.asarray(gammas)
+    apply = wrap_blur_model(d, model, params)
+    flows = jax.jit(apply.flows_fn)(low)
+    jit_apply = jax.jit(apply.apply_p)
+    update = jax.jit(make_guided_update(d, cfg, restore_fn=restore_fn_p))
+    readout = jax.jit(lambda s: s.astype(jnp.float32).mean())
 
-    flows = jax.jit(lambda r: model.apply(
-        params, r, jnp.zeros(r.shape[:2], jnp.float32), r, rnn_input=r,
-        compute_flows_only=True))(low)
+    def step(params, xx, cond, lr_obs, t, key, flows):
+        model_out = jit_apply(params, xx, t, cond, cond, None, flows)
+        sample, _ = update(xx, model_out, t, key, None, None,
+                           (lr_obs,), None)
+        return readout(sample)
 
-    def one_step(xx, t, key):
-        z = jax.random.normal(key, xx.shape, xx.dtype)
-        tt = jnp.broadcast_to(map_timesteps(d, t), (1, frames))
-        model_out = model.apply(params, xx, tt, low, rnn_input=low, flows=flows)
-        sample, _ = p_sample(
-            d, model_out, xx, t, z,
-            w_t=jnp.take(ws_dev, t), gamma_t=jnp.take(gammas_dev, t),
-            rho=cfg.rho,
-            in_face_window=jnp.asarray(False),
-            clip_denoised=True, restore_fn=restore_fn,
-        )
-        return sample.astype(jnp.float32).mean()
+    args = (params, x, low, lr, jnp.asarray(50, jnp.int32),
+            jax.random.PRNGKey(1), flows)
 
-    args = (x, jnp.asarray(50, jnp.int32), jax.random.PRNGKey(1))
-    return jax.jit(one_step), args
+    def flops_fn():
+        c = jit_apply.lower(params, x, jnp.asarray(50, jnp.int32), low, low,
+                            None, flows).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+
+    return step, args, flops_fn
 
 
 def main() -> int:
@@ -263,21 +282,17 @@ def main() -> int:
     print(f"# readback overhead: {overhead:.1f} ms", file=sys.stderr)
 
     # --- primary: BicubicUNet x8 step (driver metric) --------------------
-    fn, args = _bicubic_step(size, frames, use_face=False)
+    fn, args, flops_fn = _bicubic_step(size, frames, use_face=False)
     t0 = time.time()
-    compiled = fn.lower(*args).compile()
+    float(fn(*args))  # first call compiles model + update + readout
     compile_s = time.time() - t0
-    print(f"# bicubic compile: {compile_s:.1f}s", file=sys.stderr)
+    print(f"# bicubic compile+warmup: {compile_s:.1f}s", file=sys.stderr)
     flops = None
     try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
+        flops = flops_fn()
     except Exception:
         pass
-    float(compiled(*args))  # warm-up
-    per_step = _time_step(compiled, args, iters, overhead)
+    per_step = _time_step(fn, args, iters, overhead)
     fps = frames / (per_step * total_steps)
 
     extras = {}
@@ -288,13 +303,13 @@ def main() -> int:
         if os.environ.get("BENCH_SKIP_" + tag.upper()):
             continue
         try:
-            f2, a2 = builder()
+            f2, a2, _ = builder()
             t0 = time.time()
-            c2 = f2.lower(*a2).compile()
-            print(f"# {tag} compile: {time.time()-t0:.1f}s", file=sys.stderr)
-            float(c2(*a2))
+            float(f2(*a2))
+            print(f"# {tag} compile+warmup: {time.time()-t0:.1f}s",
+                  file=sys.stderr)
             extras[f"per_step_ms_{tag}"] = round(
-                _time_step(c2, a2, max(2, iters // 2), overhead) * 1e3, 2)
+                _time_step(f2, a2, max(2, iters // 2), overhead) * 1e3, 2)
         except Exception as e:  # noqa: BLE001 — report partial results
             extras[f"per_step_ms_{tag}"] = None
             print(f"# {tag} step failed: {type(e).__name__}: {e}",

@@ -32,6 +32,8 @@ from .sampler import (
     ddim_sample_loop,
     guidance_tables,
     guided_sample_loop,
+    guided_sample_steps,
+    make_guided_update,
     p_sample,
 )
 from .losses import (

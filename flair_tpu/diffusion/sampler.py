@@ -224,6 +224,117 @@ def guided_sample_loop(
     return x_final
 
 
+def make_guided_update(
+    d: Diffusion,
+    cfg: GuidanceConfig,
+    *,
+    restore_fn=None,   # (x0, *restore_args) -> correction
+    face_fn=None,      # (x0, x_t, *face_args) -> fused image
+):
+    """Build the guidance-update half of the two-program sampler.
+
+    The guided step factors into [heavy model forward] + [cheap update]
+    (p_sample). Compiling them as SEPARATE programs — instead of the
+    monolithic scan of :func:`guided_sample_loop` — keeps each XLA program
+    small enough for this machine's remote compile service and lets the
+    model program's compile cache be shared between the pipeline, the
+    bench, and the CLI.
+
+    Everything that varies per window is a runtime ARGUMENT (not a closure):
+    closure-captured arrays are baked into the traced program as constants,
+    so new per-window data would retrace + recompile; worse, XLA constant-
+    folds whatever is derivable from constants at compile time.
+
+    Returns ``update(x, model_out, t, rng, pin_mask, pin_values,
+    restore_args, face_args) -> (sample, rng)``:
+    - t: scalar int32 spaced step index (traced — no per-step recompile);
+    - pin_mask/pin_values: overlap pinning (None for the first window);
+    - restore_args / face_args: tuples forwarded to restore_fn / face_fn
+      (e.g. the window's degraded frames, the window's face matrices);
+      pass face_args=None to disable face fusion for a window.
+    Numerics identical to the :func:`guided_sample_loop` scan body (tested).
+    """
+    _, ws, gammas, start_timestep = guidance_tables(d, cfg)
+    ws_dev = jnp.asarray(ws)
+    gammas_dev = jnp.asarray(gammas)
+
+    def update(x, model_out, t, rng, pin_mask, pin_values,
+               restore_args=(), face_args=()):
+        rng, k = jax.random.split(rng)
+        z = jax.random.normal(k, x.shape, dtype=x.dtype)
+        in_window = jnp.logical_and(t <= start_timestep, t >= cfg.tau)
+        rfn = None
+        if restore_fn is not None:
+            rfn = lambda x0: restore_fn(x0, *(restore_args or ()))
+        ffn = None
+        if face_fn is not None and face_args is not None:
+            ffn = lambda x0, xt: face_fn(x0, xt, *face_args)
+        sample, _ = p_sample(
+            d, model_out, x, t, z,
+            w_t=jnp.take(ws_dev, t),
+            gamma_t=jnp.take(gammas_dev, t),
+            rho=cfg.rho,
+            in_face_window=in_window,
+            clip_denoised=cfg.clip_denoised,
+            restore_fn=rfn,
+            face_fn=ffn,
+            pin_mask=pin_mask,
+            pin_values=pin_values,
+        )
+        return sample, rng
+
+    return update
+
+
+def guided_sample_steps(
+    d: Diffusion,
+    model_fn: ModelFn,
+    noise: Array,
+    rng: Array,
+    cfg: GuidanceConfig,
+    *,
+    restore_fn: Optional[RestoreFn] = None,
+    face_fn: Optional[FaceFn] = None,
+    pin_mask: Optional[Array] = None,
+    pin_values: Optional[Array] = None,
+    update=None,
+    jit_update: bool = True,
+    restore_args=None,
+    face_args=None,
+) -> Array:
+    """Python-loop guided sampler: numerics identical to
+    :func:`guided_sample_loop`, but dispatched as one model program + one
+    update program per step instead of one monolithic scan program.
+
+    Use this on TPU at full resolution — the scanned program is too large
+    for this machine's remote XLA compile service (PERF.md); the split
+    programs compile in minutes and cache across windows, bench and CLI.
+
+    ``model_fn`` should already be jitted by the caller (it is invoked once
+    per step). Pass ``update`` (from :func:`make_guided_update`, possibly
+    pre-jitted and shared across windows) to control closure lifetimes;
+    otherwise one is built from restore_fn/face_fn with args baked.
+    """
+    indices, _, _, _ = guidance_tables(d, cfg)
+    if update is None:
+        rfn = None if restore_fn is None else (
+            lambda x0, *a: restore_fn(x0))
+        ffn = None if face_fn is None else (
+            lambda x0, xt, *a: face_fn(x0, xt))
+        update = make_guided_update(d, cfg, restore_fn=rfn, face_fn=ffn)
+        face_args = None if face_fn is None else ()
+        if jit_update:
+            update = jax.jit(update)
+
+    x = noise
+    for t_host in indices:
+        t = jnp.asarray(int(t_host), jnp.int32)
+        model_out = model_fn(x, t)
+        x, rng = update(x, model_out, t, rng, pin_mask, pin_values,
+                        restore_args or (), face_args)
+    return x
+
+
 def ddim_sample_loop(
     d: Diffusion,
     model_fn: ModelFn,

@@ -150,9 +150,36 @@ def make_face_fn(
     fused = (1−mask)·x0 + mask·inv_face.
     """
     mats = jnp.asarray(matrices, jnp.float32)
-    border = jnp.asarray(_GRAY_BORDER)
+    fn_p = make_face_fn_p(
+        codeformer_apply, parsenet_apply,
+        face_size=face_size, fidelity_w=fidelity_w, aligned=aligned,
+    )
 
     def face_fn(x0: Array, x_t: Array) -> Array:
+        return fn_p(x0, x_t, mats)
+
+    return face_fn
+
+
+def make_face_fn_p(
+    codeformer_apply: Callable[[Array], Array],
+    parsenet_apply: Optional[Callable[[Array], Array]] = None,
+    *,
+    face_size: int = 512,
+    fidelity_w: float = 1.0,
+    aligned: bool = False,
+) -> Callable[[Array, Array, Array], Array]:
+    """Parameterised :func:`make_face_fn`: the per-window affine matrices
+    enter per CALL — ``face_fn(x0, x_t, mats)`` with mats (T, 2, 3).
+
+    Needed by the two-program (steps) sampler: matrices baked into the
+    closure would retrace (and recompile) the guidance-update program on
+    every window; as a runtime argument one compiled program serves all
+    windows of a clip.
+    """
+    border = jnp.asarray(_GRAY_BORDER)
+
+    def face_fn(x0: Array, x_t: Array, mats: Array) -> Array:
         b, t, h, w, c = x0.shape
         frames = x0.reshape(b * t, h, w, c)
         if aligned:

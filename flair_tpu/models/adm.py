@@ -53,6 +53,7 @@ class BlurUNet(nn.Module):
     temporal_frames: int = 5
     deform_groups: int = 16
     dcn_patch_size: object = "auto"
+    dcn_impl: str = "auto"  # see SecondOrderDeformableAlignment
     # gradient checkpointing per block (reference demo configs run with
     # use_checkpoint=True, video_sample.py:134,154; nn_new.py checkpoint)
     use_checkpoint: bool = False
@@ -175,6 +176,7 @@ class BlurUNet(nn.Module):
                 h = VP(
                     h.shape[-1], deform_groups=self.deform_groups,
                     dcn_patch_size=self.dcn_patch_size,
+                    dcn_impl=self.dcn_impl,
                     dtype=self.dtype, name=name,
                 )(h, fwd, bwd, vsrpp_weights)
             return h

@@ -49,6 +49,7 @@ class SR3LevelBlock(nn.Module):
     head_dim: int
     deform_groups: int = 16
     dcn_patch_size: object = "auto"
+    dcn_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -92,6 +93,7 @@ class SR3LevelBlock(nn.Module):
                 c, max_residue_magnitude=5.0,
                 deform_groups=self.deform_groups,
                 dcn_patch_size=self.dcn_patch_size,
+                dcn_impl=self.dcn_impl,
                 dtype=self.dtype, name="vsrpp",
             )(x, fwd, bwd, vsrpp_weights)
             x = TemporalWrapper2(c, dtype=self.dtype, name="vsrpp_gate")(x, out, emb)
@@ -120,6 +122,7 @@ class BicubicUNet(nn.Module):
     head_dim: int = 64
     deform_groups: int = 16
     dcn_patch_size: object = "auto"
+    dcn_impl: str = "auto"  # see SecondOrderDeformableAlignment
     # gradient checkpointing per level block (the reference runs all demo
     # configs with use_checkpoint=True, video_sample.py:93; nn.py:884-930)
     use_checkpoint: bool = False
@@ -222,6 +225,7 @@ class BicubicUNet(nn.Module):
                     head_dim=self.head_dim,
                     deform_groups=self.deform_groups,
                     dcn_patch_size=self.dcn_patch_size,
+                    dcn_impl=self.dcn_impl,
                     dtype=self.dtype,
                     name=f"down_{li}",
                 )(
@@ -269,6 +273,7 @@ class BicubicUNet(nn.Module):
                     head_dim=self.head_dim,
                     deform_groups=self.deform_groups,
                     dcn_patch_size=self.dcn_patch_size,
+                    dcn_impl=self.dcn_impl,
                     dtype=self.dtype,
                     name=f"up_{li}",
                 )(

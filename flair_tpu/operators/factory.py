@@ -95,3 +95,43 @@ def make_restore_fn(
         return restore
 
     raise ValueError(f"unknown task: {task}")
+
+
+def make_restore_fn_p(
+    task: str,
+    operator,
+    jpeg_qf: int = -1,
+) -> Callable[[Array, Array], Array]:
+    """Parameterised variant of :func:`make_restore_fn`: the observed LR
+    frames enter per CALL instead of being baked into the closure.
+
+    Needed by the two-program (steps) sampler: closures binding per-window
+    data would force a retrace — and a multi-minute XLA recompile — of the
+    guidance-update program for every window; with ``degraded`` as a runtime
+    argument one compiled program serves the whole clip.
+
+    ``restore(x0, degraded)``: x0 (N, H, W, C) in [-1, 1]; ``degraded`` the
+    per-window observations, (N, h', w', C) for SR tasks / (N, h', w', C)
+    for gaussian/jpeg — same convention as :func:`make_restore_fn`.
+    """
+    if task in ("x8_bicubic", "x16_bicubic"):
+
+        def restore(x0: Array, degraded: Array) -> Array:
+            n = x0.shape[0]
+            flat = x0.reshape(n, -1)
+            resid = operator.A(flat) - degraded.reshape(n, -1)
+            return operator.A_pinv(resid).reshape(x0.shape)
+
+        return restore
+
+    if task in ("gaussian", "jpeg"):
+        qf = jpeg_qf if task == "jpeg" else None
+        if task == "jpeg" and jpeg_qf == -1:
+            qf = None
+
+        def restore(x0: Array, degraded: Array) -> Array:
+            return operator.A_pinv(degraded, x0, jpeg_qf=qf)
+
+        return restore
+
+    raise ValueError(f"unknown task: {task}")

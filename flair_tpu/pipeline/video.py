@@ -11,9 +11,16 @@ Re-design of the demo driver (scripts/video_sample.py:265-497):
   (gaussian_diffusion.py:497-506) and dropped at stitch time
   (video_sample.py:480-485).
 
-TPU-first: the whole 100-step window restoration is ONE jitted scan
-(flair_tpu.diffusion.sampler.guided_sample_loop); the window loop is the only
-host-level loop (it is inherently sequential through prev_recon).
+TPU-first: each window's 100-step restoration is dispatched as TWO jitted
+programs per step — the heavy denoiser forward and the cheap guidance
+update (sampler="steps", flair_tpu.diffusion.sampler.guided_sample_steps)
+— with every per-window tensor (conditioning, flows, degraded frames,
+face matrices, pin values) entering as a runtime ARGUMENT so one compiled
+pair serves the whole clip. The alternative monolithic scan
+(sampler="scan", guided_sample_loop) stays available: it is what the
+multi-chip mesh dry-run shards, but at 512² its single XLA program is too
+large for this machine's remote compile service (PERF.md). The window loop
+is the only host-level loop (inherently sequential through prev_recon).
 """
 
 from __future__ import annotations
@@ -29,13 +36,15 @@ from ..diffusion import (
     Diffusion,
     GuidanceConfig,
     guided_sample_loop,
+    guided_sample_steps,
+    make_guided_update,
     make_task_diffusion,
     map_timesteps,
     q_sample,
     sr3_noise_level,
 )
 from ..ops.resize import resize_area, resize_bicubic
-from ..operators.factory import get_operator, make_restore_fn
+from ..operators.factory import get_operator, make_restore_fn, make_restore_fn_p
 
 Array = jax.Array
 
@@ -147,6 +156,7 @@ def restore_video(
     win: int = FRAME_SLICE_LEN,
     overlap: int = OVERLAP,
     pad_tail: bool = True,
+    sampler: str = "steps",
 ) -> np.ndarray:
     """Restore a full clip window by window.
 
@@ -164,9 +174,14 @@ def restore_video(
     (video_sample.py:361-368) costs a second multi-minute XLA compile per
     clip on TPU. Set False for bit-exact reference-window semantics.
 
+    ``sampler``: "steps" (default) dispatches each guided step as two jitted
+    programs (model forward + guidance update) with all per-window tensors
+    as runtime arguments — compile-robust at 512² and numerically identical
+    to "scan", the monolithic lax.scan program of guided_sample_loop.
+
     Returns (T, 512, 512, 3) in [0, 1].
     """
-    from ..face.helper import make_face_fn
+    from ..face.helper import make_face_fn, make_face_fn_p
 
     d = diffusion or make_task_diffusion(cfg.task, cfg.steps)
     rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -180,14 +195,45 @@ def restore_video(
     prev_recon = None  # (1, overlap, H, W, 3) tail of previous window
 
     # SPyNet flows depend only on rnn_input (fixed per window): jit once,
-    # compute once per window, pass into the scanned sampler (the reference
-    # recomputes identical flows inside every denoiser evaluation,
-    # unet.py:531-595 / unet_new.py:1283-1348)
+    # compute once per window, pass into the sampler as a runtime argument
+    # (the reference recomputes identical flows inside every denoiser
+    # evaluation, unet.py:531-595 / unet_new.py:1283-1348)
     flows_jit = (
         jax.jit(model_apply.flows_fn)
         if hasattr(model_apply, "flows_fn")
         else None
     )
+
+    use_steps = sampler == "steps"
+    # two-program sampler: one jitted model program (params + all window
+    # tensors as arguments) + one jitted guidance-update program per
+    # guidance variant, shared across every window of the clip
+    jit_apply_p = (
+        jax.jit(model_apply.apply_p)
+        if use_steps and hasattr(model_apply, "apply_p")
+        else None
+    )
+    restore_p = make_restore_fn_p(cfg.task, operator, jpeg_qf=cfg.jpeg_qf)
+
+    def restore_fn_p(x0, degraded):
+        flat = x0.reshape((x0.shape[0] * x0.shape[1],) + x0.shape[2:])
+        return restore_p(flat, degraded).reshape(x0.shape)
+
+    face_fn_p = None
+    if face_fn is not None:
+        # fixed caller-supplied (x0, x_t) closure: adapt to the args protocol
+        face_fn_p = lambda x0, xt, *a: face_fn(x0, xt)
+    elif codeformer_apply is not None:
+        face_fn_p = make_face_fn_p(
+            codeformer_apply, parsenet_apply, face_size=cfg.output_size
+        )
+    _update_cache: dict = {}
+
+    def get_update(g: GuidanceConfig):
+        if g not in _update_cache:
+            _update_cache[g] = jax.jit(make_guided_update(
+                d, g, restore_fn=restore_fn_p, face_fn=face_fn_p))
+        return _update_cache[g]
 
     for wi, (start, length) in enumerate(window_slices(t_all, win, overlap)):
         sl = frames[start : start + length][None]  # (1, Tw, h, w, 3) in [0,1]
@@ -227,6 +273,7 @@ def restore_video(
         # face prior: detect once per window on the init frames
         # (video_sample.py:446-448), fuse on device per step.
         window_face_fn = face_fn
+        mats = None
         if window_face_fn is None and face_helper is not None and codeformer_apply:
             init01 = np.asarray((init[0] + 1.0) / 2.0)
             mats = _fill_missing_matrices(
@@ -278,26 +325,60 @@ def restore_video(
 
         flows = None if flows_jit is None else flows_jit(rnn_input)
 
-        if flows is not None:
-            def model_fn(x, t):
-                return model_apply(
-                    x, t, low_res, rnn_input, vsrpp_weights, flows
-                )
+        if use_steps:
+            # two-program path: model + update, all window data as args
+            degraded_dev = degraded_pm1.reshape(tw, *sl.shape[2:])
+            if window_face_fn is None:
+                face_args = None
+            elif face_fn is not None:
+                face_args = ()  # fixed caller closure, no runtime extras
+            else:
+                face_args = (jnp.asarray(mats, jnp.float32),)
+            if jit_apply_p is not None:
+                def model_fn(x, t):
+                    return jit_apply_p(
+                        model_apply.params, x, t, low_res, rnn_input,
+                        vsrpp_weights, flows,
+                    )
+            elif flows is not None:
+                model_fn = jax.jit(lambda x, t: model_apply(
+                    x, t, low_res, rnn_input, vsrpp_weights, flows))
+            else:
+                model_fn = jax.jit(lambda x, t: model_apply(
+                    x, t, low_res, rnn_input, vsrpp_weights))
+            sample = guided_sample_steps(
+                d,
+                model_fn,
+                x_t,
+                k_loop,
+                g,
+                update=get_update(g),
+                pin_mask=pin_mask,
+                pin_values=pin_values,
+                restore_args=(degraded_dev,),
+                face_args=face_args,
+            )
         else:
-            def model_fn(x, t):
-                return model_apply(x, t, low_res, rnn_input, vsrpp_weights)
+            if flows is not None:
+                def model_fn(x, t):
+                    return model_apply(
+                        x, t, low_res, rnn_input, vsrpp_weights, flows
+                    )
+            else:
+                def model_fn(x, t):
+                    return model_apply(x, t, low_res, rnn_input, vsrpp_weights)
 
-        sample = guided_sample_loop(
-            d,
-            model_fn,
-            x_t,
-            k_loop,
-            g,
-            restore_fn=restore_fn,
-            face_fn=window_face_fn,
-            pin_mask=pin_mask,
-            pin_values=pin_values,
-        )
+            sample = guided_sample_loop(
+                d,
+                model_fn,
+                x_t,
+                k_loop,
+                g,
+                restore_fn=restore_fn,
+                face_fn=window_face_fn,
+                pin_mask=pin_mask,
+                pin_values=pin_values,
+            )
         sample.block_until_ready()
 
         keep_from = overlap if prev_recon is not None else 0

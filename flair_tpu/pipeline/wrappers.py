@@ -44,9 +44,18 @@ def make_flows_fn(model, params) -> Callable:
 def wrap_bicubic_model(
     d: Diffusion, model, params, *, enable_cross_frames: bool = True
 ) -> Callable:
-    """(x, t, low_res, rnn_input, vsrpp_weights[, flows]) → eps (SR3 UNet)."""
+    """(x, t, low_res, rnn_input, vsrpp_weights[, flows]) → eps (SR3 UNet).
 
-    def apply(x, t, low_res, rnn_input, vsrpp_weights, flows=None):
+    The returned callable also carries:
+    - ``.apply_p(params, x, t, low_res, rnn_input, vsrpp_weights, flows)`` —
+      the same computation with params (and everything else) as runtime
+      arguments, for the two-program sampler: jit THIS so per-window data
+      stays out of the traced program's constants;
+    - ``.params`` — the bound parameter tree;
+    - ``.flows_fn(rnn_input)`` — the once-per-window SPyNet flow precompute.
+    """
+
+    def apply_p(params, x, t, low_res, rnn_input, vsrpp_weights, flows=None):
         b, tw = x.shape[0], x.shape[1]
         lvl = jnp.full((b, tw), sr3_noise_level(d, t), jnp.float32)
         return model.apply(
@@ -60,6 +69,11 @@ def wrap_bicubic_model(
             flows=flows,
         )
 
+    def apply(x, t, low_res, rnn_input, vsrpp_weights, flows=None):
+        return apply_p(params, x, t, low_res, rnn_input, vsrpp_weights, flows)
+
+    apply.apply_p = apply_p
+    apply.params = params
     apply.flows_fn = make_flows_fn(model, params)
     return apply
 
@@ -67,9 +81,13 @@ def wrap_bicubic_model(
 def wrap_blur_model(
     d: Diffusion, model, params, *, enable_cross_frames: bool = True
 ) -> Callable:
-    """(x, t, low_res, rnn_input, vsrpp_weights[, flows]) → (eps, var)."""
+    """(x, t, low_res, rnn_input, vsrpp_weights[, flows]) → (eps, var).
 
-    def apply(x, t, low_res, rnn_input, vsrpp_weights, flows=None):
+    Carries ``.apply_p`` / ``.params`` / ``.flows_fn`` like
+    :func:`wrap_bicubic_model`.
+    """
+
+    def apply_p(params, x, t, low_res, rnn_input, vsrpp_weights, flows=None):
         b, tw = x.shape[0], x.shape[1]
         t_orig = scale_timesteps(d, map_timesteps(d, t))
         ts = jnp.full((b, tw), t_orig, jnp.int32)
@@ -84,5 +102,10 @@ def wrap_blur_model(
             flows=flows,
         )
 
+    def apply(x, t, low_res, rnn_input, vsrpp_weights, flows=None):
+        return apply_p(params, x, t, low_res, rnn_input, vsrpp_weights, flows)
+
+    apply.apply_p = apply_p
+    apply.params = params
     apply.flows_fn = make_flows_fn(model, params)
     return apply

@@ -361,3 +361,57 @@ def test_loss_aware_resampler():
     assert w2[9] > w2[0]  # higher loss → higher probability
     t, wts = loss_aware_sample(jax.random.PRNGKey(0), state, 16)
     assert t.shape == (16,) and np.isfinite(np.asarray(wts)).all()
+
+
+def test_guided_sample_steps_matches_scan_loop():
+    """The two-program python-loop sampler must reproduce the scanned
+    guided_sample_loop BIT-FOR-BIT: same RNG splits, same update math,
+    restore + pin + face all exercised (sampler.py make_guided_update)."""
+    from flair_tpu.diffusion import guided_sample_steps, make_guided_update
+
+    d = make_task_diffusion("x8_bicubic", "10")
+
+    def model_fn(x, t):
+        return 0.03 * x * (1.0 + t.astype(jnp.float32) / 10.0)
+
+    target = jnp.ones((1, 2, 4, 4, 3), jnp.float32) * 0.25
+
+    def restore_fn(x0):
+        return 0.3 * (x0 - target)
+
+    def face_fn(x0, x_t):
+        return jnp.clip(x0 * 0.5 + 0.1, -1, 1)
+
+    pin_values = jnp.full_like(target, 0.9)
+    pin_mask = jnp.zeros_like(target).at[:, :1].set(1.0) > 0
+    noise = jnp.full_like(target, 0.4)
+    cfg = GuidanceConfig(w=0.7, tau=2, rho=0.3, zeta=-1.0, use_aux=True)
+    kw = dict(restore_fn=restore_fn, face_fn=face_fn,
+              pin_mask=pin_mask, pin_values=pin_values)
+    ref = guided_sample_loop(
+        d, model_fn, noise, jax.random.PRNGKey(7), cfg, **kw)
+    got = guided_sample_steps(
+        d, model_fn, noise, jax.random.PRNGKey(7), cfg, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    # the pipeline's shared-update protocol: per-window data as args
+    upd = jax.jit(make_guided_update(
+        d, cfg,
+        restore_fn=lambda x0, tgt: 0.3 * (x0 - tgt),
+        face_fn=lambda x0, xt, b: jnp.clip(x0 * 0.5 + b, -1, 1),
+    ))
+    got2 = guided_sample_steps(
+        d, model_fn, noise, jax.random.PRNGKey(7), cfg,
+        update=upd, pin_mask=pin_mask, pin_values=pin_values,
+        restore_args=(target,), face_args=(jnp.asarray(0.1),))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got2))
+
+    # face disabled per-window via face_args=None
+    ref_nf = guided_sample_loop(
+        d, model_fn, noise, jax.random.PRNGKey(7), cfg,
+        restore_fn=restore_fn, pin_mask=pin_mask, pin_values=pin_values)
+    got_nf = guided_sample_steps(
+        d, model_fn, noise, jax.random.PRNGKey(7), cfg,
+        update=upd, pin_mask=pin_mask, pin_values=pin_values,
+        restore_args=(target,), face_args=None)
+    np.testing.assert_array_equal(np.asarray(ref_nf), np.asarray(got_nf))

@@ -220,3 +220,38 @@ def test_restore_video_pad_tail_matches_short_window():
     out_ref = restore_video(frames, cfg, model_apply, diffusion=d,
                             win=4, overlap=2, pad_tail=False)
     np.testing.assert_allclose(out_pad, out_ref, atol=1e-5)
+
+
+def test_restore_video_steps_matches_scan():
+    """sampler="steps" (two-program dispatch, per-window data as runtime
+    args) must equal sampler="scan" (monolithic lax.scan) bit-for-bit on
+    the real wrapped BicubicUNet, including window overlap pinning and the
+    hoisted-flows path."""
+    import dataclasses
+
+    from flair_tpu.diffusion import make_task_diffusion
+    from flair_tpu.models.sr3 import BicubicUNet
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+    from flair_tpu.pipeline.wrappers import wrap_bicubic_model
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=32, input_size=4, steps="3"
+    )
+    d = make_task_diffusion(cfg.task, cfg.steps)
+    model = BicubicUNet(
+        inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+        attn_res=(8,), vsrpp_res=(16,), image_size=32, res_blocks=1,
+        num_frames=3, head_dim=8,
+    )
+    rs = np.random.RandomState(0)
+    x0 = jnp.asarray(rs.rand(1, 3, 32, 32, 3).astype(np.float32))
+    lvl = jnp.full((1, 3), 0.5)
+    params = model.init(jax.random.PRNGKey(0), x0, lvl, x0)
+    apply = wrap_bicubic_model(d, model, params)
+
+    frames = rs.rand(5, 4, 4, 3).astype(np.float32)
+    out_scan = restore_video(
+        frames, cfg, apply, diffusion=d, win=3, overlap=1, sampler="scan")
+    out_steps = restore_video(
+        frames, cfg, apply, diffusion=d, win=3, overlap=1, sampler="steps")
+    np.testing.assert_array_equal(out_scan, out_steps)
