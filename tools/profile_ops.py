@@ -150,6 +150,13 @@ if sel("tile"):
             ((4, 4), (pty + 4, 32), 16, True),
             ((4, 4), (pty + 4, 32), 8, True),
             ((2, 4), (pty, 32), 32, True),
+            # bigger tiles: DMA bytes and per-grid-step fixed costs drop with
+            # tile count; MACs grow with tile pixels x patch rows — find the
+            # crossover
+            ((4, 4), (pty + 4, 32), 32, True),
+            ((4, 8), (pty + 4, 32), 16, True),
+            ((4, 8), (pty + 4, 32), 32, True),
+            ((8, 8), (pty + 8, 32), 16, True),
         ]
         for tile, patch, ntb, lane in cfgs:
             name = (f"dcn_tile {h}^2 cin{cin} M{M} t{tile[0]}x{tile[1]} "
