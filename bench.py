@@ -80,7 +80,7 @@ def _rand_params(shapes, seed=3, scale=0.02):
     return jax.tree_util.tree_unflatten(treedef, vals)
 
 
-def _bicubic_step(size, frames, use_face):
+def _bicubic_step(size, frames, use_face, batch=1):
     """Build the x8_bicubic guided step EXACTLY as the pipeline runs it:
     two jitted programs (denoiser forward via wrap_bicubic_model.apply_p,
     guidance update via make_guided_update) with params, conditioning,
@@ -115,15 +115,17 @@ def _bicubic_step(size, frames, use_face):
     d = make_task_diffusion("x8_bicubic", "100")
     cfg = GuidanceConfig(use_aux=use_face, rho=0.85, w=0.85)
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (1, frames, size, size, 3), jnp.float32) * 2 - 1
-    lvl = jnp.full((1, frames), 0.5, jnp.float32)
+    x = jax.random.uniform(
+        key, (batch, frames, size, size, 3), jnp.float32) * 2 - 1
+    lvl = jnp.full((batch, frames), 0.5, jnp.float32)
     shapes = jax.eval_shape(model.init, key, x, lvl, x)
     params = _rand_params(shapes)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"# bicubic params: {n_params/1e6:.1f}M", file=sys.stderr)
 
     op = get_operator("x8_bicubic", size)
-    lr = op.A(x.reshape(frames, -1)).reshape(frames, size // 8, size // 8, 3)
+    lr = op.A(x.reshape(batch * frames, -1)).reshape(
+        batch * frames, size // 8, size // 8, 3)
     restore_p = make_restore_fn_p("x8_bicubic", op)
 
     def restore_fn_p(x0, degraded):
@@ -296,6 +298,25 @@ def main() -> int:
     fps = frames / (per_step * total_steps)
 
     extras = {}
+    nb = int(os.environ.get("BENCH_BATCH", "0"))
+    if nb > 1:
+        # serving-throughput variant: nb INDEPENDENT windows restored
+        # concurrently (clips are independent in production; within one
+        # clip windows are sequential through prev_recon). Latency per
+        # step grows sub-linearly — per-call fixed costs amortise.
+        try:
+            fb, ab, _ = _bicubic_step(size, frames, use_face=False, batch=nb)
+            t0 = time.time()
+            float(fb(*ab))
+            print(f"# batch{nb} compile+warmup: {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            tb = _time_step(fb, ab, max(2, iters // 2), overhead)
+            extras[f"per_step_ms_b{nb}"] = round(tb * 1e3, 2)
+            extras[f"fps_batch{nb}"] = round(nb * frames / (tb * total_steps), 4)
+        except Exception as e:  # noqa: BLE001
+            extras[f"per_step_ms_b{nb}"] = None
+            print(f"# batch{nb} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     for tag, builder in (
         ("face", lambda: _bicubic_step(size, frames, use_face=True)),
         ("blur", lambda: _blur_step(size, frames)),

@@ -194,6 +194,11 @@ def main(argv=None) -> int:
         sp.add_argument("--t-start", type=int, default=-1)
         sp.add_argument("--window", type=int, default=10)
         sp.add_argument("--overlap", type=int, default=3)
+        sp.add_argument("--sampler", choices=("steps", "scan"),
+                        default="steps",
+                        help="'steps': two jitted programs per guided step "
+                             "(compile-robust, default); 'scan': monolithic "
+                             "lax.scan program (bit-identical)")
 
     args = p.parse_args(argv)
 
@@ -241,6 +246,7 @@ def main(argv=None) -> int:
         codeformer_apply=codeformer_apply,
         parsenet_apply=parsenet_apply,
         win=args.window, overlap=args.overlap,
+        sampler=args.sampler,
     )
     save_frames(out, args.output_dir)
     print(f"wrote {out.shape[0]} frames to {args.output_dir}")
