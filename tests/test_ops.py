@@ -696,6 +696,31 @@ class TestDCNTilePallas:
         err = jnp.mean(jnp.abs(ref - out)) / jnp.mean(jnp.abs(ref))
         assert float(err) < 0.02
 
+    @pytest.mark.parametrize("tile,patch,ntb,lane", [
+        ((4, 4), (20, 32), 8, False),
+        ((4, 4), (20, 32), 8, True),
+        ((4, 8), (20, 32), 4, True),
+        ((8, 8), (24, 32), 2, True),
+        ((2, 4), (16, 32), 8, True),
+    ])
+    def test_matches_exact_path_all_tile_configs(self, tile, patch, ntb, lane):
+        """Every config the perf sweep times must be numerically sound
+        (interpret mode; smooth flow, residues within the patch budget)."""
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import (
+            deform_conv2d_tile, tile_escape_fraction)
+        from flair_tpu.ops.deform import deform_conv2d
+
+        x, flow, off, mask, wgt, bias = self._mk(
+            jax.random.PRNGKey(3), amp=1.5, M=2.0)
+        ref = deform_conv2d(x, off, wgt, bias, mask=mask)
+        out = deform_conv2d_tile(
+            x, flow, off, wgt, bias, mask=mask,
+            tile=tile, patch=patch, ntb=ntb, lane_slice=lane, interpret=True)
+        err = jnp.mean(jnp.abs(ref - out)) / jnp.mean(jnp.abs(ref))
+        assert float(err) < 0.02, float(err)
+
     def test_escape_fraction_flags_rough_flow(self):
         import jax
 
