@@ -153,15 +153,29 @@ def build_face_stack(task: str, *, checkpoint_dir: str | None = None,
         lambda r: cf.init(r, jnp.zeros((1, 512, 512, 3)), w=1.0, adain=True),
         "codeformer",
     )
-    codeformer_apply = jax.jit(
-        lambda x: cf.apply(cf_params, x, w=1.0, adain=True)[0]
-    )
+
+    # params-threaded appliers (.apply_p/.params): inside the steps
+    # sampler's update program the face nets are traced inline, and
+    # closure-captured params would embed as HLO constants — the compile
+    # wall documented in PERF.md. restore_video picks these up when present.
+    def cf_apply_p(p, x):
+        return cf.apply(p, x, w=1.0, adain=True)[0]
+
+    codeformer_apply = jax.jit(lambda x: cf_apply_p(cf_params, x))
+    codeformer_apply.apply_p = cf_apply_p
+    codeformer_apply.params = cf_params
 
     pn = ParseNet(dtype=jnp.bfloat16)
     pn_params = _params(
         lambda r: pn.init(r, jnp.zeros((1, 512, 512, 3))), "parsenet"
     )
-    parsenet_apply = jax.jit(lambda x: pn.apply(pn_params, x)[0])
+
+    def pn_apply_p(p, x):
+        return pn.apply(p, x)[0]
+
+    parsenet_apply = jax.jit(lambda x: pn_apply_p(pn_params, x))
+    parsenet_apply.apply_p = pn_apply_p
+    parsenet_apply.params = pn_params
 
     return helper, codeformer_apply, parsenet_apply
 

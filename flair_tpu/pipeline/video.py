@@ -220,13 +220,40 @@ def restore_video(
         return restore_p(flat, degraded).reshape(x0.shape)
 
     face_fn_p = None
+    face_params_extra = ()
     if face_fn is not None:
         # fixed caller-supplied (x0, x_t) closure: adapt to the args protocol
         face_fn_p = lambda x0, xt, *a: face_fn(x0, xt)
     elif codeformer_apply is not None:
-        face_fn_p = make_face_fn_p(
-            codeformer_apply, parsenet_apply, face_size=cfg.output_size
-        )
+        cf_p = getattr(codeformer_apply, "apply_p", None)
+        pn_p = (getattr(parsenet_apply, "apply_p", None)
+                if parsenet_apply is not None else None)
+        if cf_p is not None and (parsenet_apply is None or pn_p is not None):
+            # params-threaded face nets: CodeFormer/ParseNet weights enter
+            # the update program as runtime arguments (PERF.md compile wall)
+            if pn_p is not None:
+                def face_fn_p(x0, xt, mats, cfp, pnp):
+                    fn = make_face_fn_p(
+                        lambda f: cf_p(cfp, f), lambda f: pn_p(pnp, f),
+                        face_size=cfg.output_size,
+                    )
+                    return fn(x0, xt, mats)
+
+                face_params_extra = (
+                    codeformer_apply.params, parsenet_apply.params)
+            else:
+                def face_fn_p(x0, xt, mats, cfp):
+                    fn = make_face_fn_p(
+                        lambda f: cf_p(cfp, f), None,
+                        face_size=cfg.output_size,
+                    )
+                    return fn(x0, xt, mats)
+
+                face_params_extra = (codeformer_apply.params,)
+        else:
+            face_fn_p = make_face_fn_p(
+                codeformer_apply, parsenet_apply, face_size=cfg.output_size
+            )
     _update_cache: dict = {}
 
     def get_update(g: GuidanceConfig):
@@ -333,7 +360,8 @@ def restore_video(
             elif face_fn is not None:
                 face_args = ()  # fixed caller closure, no runtime extras
             else:
-                face_args = (jnp.asarray(mats, jnp.float32),)
+                face_args = (
+                    (jnp.asarray(mats, jnp.float32),) + face_params_extra)
             if jit_apply_p is not None:
                 def model_fn(x, t):
                     return jit_apply_p(

@@ -255,3 +255,57 @@ def test_restore_video_steps_matches_scan():
     out_steps = restore_video(
         frames, cfg, apply, diffusion=d, win=3, overlap=1, sampler="steps")
     np.testing.assert_array_equal(out_scan, out_steps)
+
+
+def test_restore_video_steps_face_params_threaded_matches_scan():
+    """The CLI's .apply_p/.params convention on codeformer/parsenet appliers
+    (face weights as runtime args of the update program) must produce the
+    same frames as the scan path's closure-bound face fusion."""
+    import dataclasses
+
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+
+    size = 32
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=size, input_size=4, steps="2",
+        tau=0,
+    )
+
+    def model_apply(x, t, low_res, rnn, w):
+        return jnp.zeros_like(x)
+
+    class StubHelper:
+        def get_affine_matrices(self, frames01, **kw):
+            ident = np.array([[1.0, 0, 0], [0, 1.0, 0]])
+            return [ident] * len(frames01)
+
+    cf_w = jnp.asarray(0.25)
+    pn_w = jnp.asarray(1.0)
+
+    def cf_apply_p(p, faces):
+        return jnp.clip(faces + p, -1, 1)
+
+    def pn_apply_p(p, imgs):
+        n, h, w, _ = imgs.shape
+        logits = jnp.zeros((n, h, w, 19))
+        left = (jnp.arange(w) < w // 2)[None, None, :, None]
+        return (logits + jnp.where(left, jnp.eye(19)[0], jnp.eye(19)[1])) * p
+
+    def codeformer_apply(faces):
+        return cf_apply_p(cf_w, faces)
+
+    codeformer_apply.apply_p = cf_apply_p
+    codeformer_apply.params = cf_w
+
+    def parsenet_apply(imgs):
+        return pn_apply_p(pn_w, imgs)
+
+    parsenet_apply.apply_p = pn_apply_p
+    parsenet_apply.params = pn_w
+
+    frames = np.random.RandomState(3).rand(3, 4, 4, 3).astype(np.float32)
+    kw = dict(face_helper=StubHelper(), codeformer_apply=codeformer_apply,
+              parsenet_apply=parsenet_apply, win=2, overlap=1)
+    out_steps = restore_video(frames, cfg, model_apply, sampler="steps", **kw)
+    out_scan = restore_video(frames, cfg, model_apply, sampler="scan", **kw)
+    np.testing.assert_array_equal(out_steps, out_scan)
