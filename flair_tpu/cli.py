@@ -208,11 +208,13 @@ def main(argv=None) -> int:
         sp.add_argument("--t-start", type=int, default=-1)
         sp.add_argument("--window", type=int, default=10)
         sp.add_argument("--overlap", type=int, default=3)
-        sp.add_argument("--sampler", choices=("steps", "scan"),
+        sp.add_argument("--sampler", choices=("steps", "scan", "scan_p"),
                         default="steps",
                         help="'steps': two jitted programs per guided step "
-                             "(compile-robust, default); 'scan': monolithic "
-                             "lax.scan program (bit-identical)")
+                             "(compile-robust, default); 'scan_p': whole "
+                             "window as one program with all data as "
+                             "arguments (no dispatch overhead); 'scan': "
+                             "legacy monolithic program (bit-identical)")
 
     args = p.parse_args(argv)
 

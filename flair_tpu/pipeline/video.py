@@ -204,13 +204,15 @@ def restore_video(
         else None
     )
 
-    use_steps = sampler == "steps"
+    has_apply_p = hasattr(model_apply, "apply_p")
+    use_scan_p = sampler == "scan_p" and has_apply_p
+    use_steps = sampler == "steps" or (sampler == "scan_p" and not has_apply_p)
     # two-program sampler: one jitted model program (params + all window
     # tensors as arguments) + one jitted guidance-update program per
     # guidance variant, shared across every window of the clip
     jit_apply_p = (
         jax.jit(model_apply.apply_p)
-        if use_steps and hasattr(model_apply, "apply_p")
+        if use_steps and has_apply_p
         else None
     )
     restore_p = make_restore_fn_p(cfg.task, operator, jpeg_qf=cfg.jpeg_qf)
@@ -261,6 +263,35 @@ def restore_video(
             _update_cache[g] = jax.jit(make_guided_update(
                 d, g, restore_fn=restore_fn_p, face_fn=face_fn_p))
         return _update_cache[g]
+
+    # scan_p: the ENTIRE window loop as one jitted program, every window
+    # tensor a runtime argument (the compile wall is closure CONSTANTS,
+    # not program size — PERF.md). Zero per-step dispatch overhead; XLA
+    # schedules across the whole 100-step scan.
+    _scan_p_cache: dict = {}
+
+    def get_scan_p(g: GuidanceConfig):
+        if g not in _scan_p_cache:
+            def window_program(params, noise, k_loop, low_res, rnn_input,
+                               vsrpp_weights, flows, degraded, face_args,
+                               pin_mask, pin_values):
+                def model_fn(x, t):
+                    return model_apply.apply_p(
+                        params, x, t, low_res, rnn_input, vsrpp_weights,
+                        flows)
+
+                f_fn = None
+                if face_args is not None and face_fn_p is not None:
+                    f_fn = lambda x0, xt: face_fn_p(x0, xt, *face_args)
+                return guided_sample_loop(
+                    d, model_fn, noise, k_loop, g,
+                    restore_fn=lambda x0: restore_fn_p(x0, degraded),
+                    face_fn=f_fn,
+                    pin_mask=pin_mask, pin_values=pin_values,
+                )
+
+            _scan_p_cache[g] = jax.jit(window_program)
+        return _scan_p_cache[g]
 
     for wi, (start, length) in enumerate(window_slices(t_all, win, overlap)):
         sl = frames[start : start + length][None]  # (1, Tw, h, w, 3) in [0,1]
@@ -352,7 +383,21 @@ def restore_video(
 
         flows = None if flows_jit is None else flows_jit(rnn_input)
 
-        if use_steps:
+        if use_scan_p:
+            degraded_dev = degraded_pm1.reshape(tw, *sl.shape[2:])
+            if window_face_fn is None:
+                face_args = None
+            elif face_fn is not None:
+                face_args = ()
+            else:
+                face_args = (
+                    (jnp.asarray(mats, jnp.float32),) + face_params_extra)
+            sample = get_scan_p(g)(
+                model_apply.params, x_t, k_loop, low_res, rnn_input,
+                vsrpp_weights, flows, degraded_dev, face_args,
+                pin_mask, pin_values,
+            )
+        elif use_steps:
             # two-program path: model + update, all window data as args
             degraded_dev = degraded_pm1.reshape(tw, *sl.shape[2:])
             if window_face_fn is None:

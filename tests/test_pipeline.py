@@ -255,6 +255,9 @@ def test_restore_video_steps_matches_scan():
     out_steps = restore_video(
         frames, cfg, apply, diffusion=d, win=3, overlap=1, sampler="steps")
     np.testing.assert_array_equal(out_scan, out_steps)
+    out_scan_p = restore_video(
+        frames, cfg, apply, diffusion=d, win=3, overlap=1, sampler="scan_p")
+    np.testing.assert_array_equal(out_scan, out_scan_p)
 
 
 def test_restore_video_steps_face_params_threaded_matches_scan():
