@@ -213,15 +213,7 @@ class _PropStep(nn.Module):
         feat_current, extra, flow_n1, flow_n2_in, weight_t, idx = xs
         c = self.features
 
-        cond_n1 = flow_warp(prop_n1, flow_n1)
-        use_n2 = (idx > 1).astype(flow_n1.dtype)
-        flow_n2 = use_n2[..., None, None, None] * (
-            flow_n1 + flow_warp(flow_n2_in, flow_n1)
-        )
-        cond_n2 = flow_warp(prop_n2, flow_n2)
-        cond = jnp.concatenate([cond_n1, feat_current, cond_n2], axis=-1)
-        packed = jnp.concatenate([prop_n1, prop_n2], axis=-1)
-        aligned = SecondOrderDeformableAlignment(
+        align = SecondOrderDeformableAlignment(
             c,
             deform_groups=self.deform_groups,
             max_residue_magnitude=self.max_residue_magnitude,
@@ -229,9 +221,33 @@ class _PropStep(nn.Module):
             dcn_impl=self.dcn_impl,
             dtype=self.dtype,
             name="deform_align",
-        )(packed, cond, flow_n1, flow_n2)
-        not_first = (idx > 0).astype(aligned.dtype)[..., None, None, None]
-        prop = aligned * not_first
+        )
+
+        # the reference computes the full alignment for the FIRST scanned
+        # frame too and multiplies it by zero (unet.py:471-489 `if idx > 0`
+        # guard is outside the flow/DCN math in the scanned formulation);
+        # lax.cond skips the three flow warps + offset convs + deformable
+        # conv at runtime for that frame — identical output (zeros), ~10%
+        # of the per-step DCN cost at win=10
+        def _do_align(mod):
+            cond_n1 = flow_warp(prop_n1, flow_n1)
+            use_n2 = (idx > 1).astype(flow_n1.dtype)
+            flow_n2 = use_n2[..., None, None, None] * (
+                flow_n1 + flow_warp(flow_n2_in, flow_n1)
+            )
+            cond_n2 = flow_warp(prop_n2, flow_n2)
+            cond = jnp.concatenate(
+                [cond_n1, feat_current, cond_n2], axis=-1)
+            packed = jnp.concatenate([prop_n1, prop_n2], axis=-1)
+            return mod(packed, cond, flow_n1, flow_n2).astype(prop_n1.dtype)
+
+        def _skip_align(mod):
+            return jnp.zeros(prop_n1.shape[:-1] + (c,), prop_n1.dtype)
+
+        if self.is_initializing():
+            prop = _do_align(align)  # create align variables unconditionally
+        else:
+            prop = nn.cond(idx > 0, _do_align, _skip_align, align)
 
         feat_in = jnp.concatenate([feat_current, extra, prop], axis=-1)
         prop = prop + ResidualBlocksWithInputConv(
