@@ -218,6 +218,19 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
+    import jax
+
+    # persistent XLA compile cache (remote compiles take minutes here; the
+    # bench and pipeline share these programs)
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from .diffusion import make_task_diffusion
     from .pipeline.video import TASK_CONFIGS, restore_video
     from .pipeline.wrappers import wrap_bicubic_model, wrap_blur_model
