@@ -272,6 +272,12 @@ def main() -> int:
 
     import jax
 
+    # honor JAX_PLATFORMS=cpu for off-TPU validation runs: this machine's
+    # sitecustomize registers the axon TPU plugin at interpreter startup,
+    # so the env var alone does not switch backends
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
