@@ -696,6 +696,24 @@ class TestDCNTilePallas:
         err = jnp.mean(jnp.abs(ref - out)) / jnp.mean(jnp.abs(ref))
         assert float(err) < 0.02
 
+    def test_matches_exact_path_cin256_unpacked(self):
+        """ca=128 / xpack=1 (the 256-resolution VSR++ sites)."""
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+        from flair_tpu.ops.deform import deform_conv2d
+
+        x, flow, off, mask, wgt, bias = self._mk(
+            jax.random.PRNGKey(5), h=16, w=32, cin=256, cout=128,
+            amp=1.5, M=2.0)
+        ref = deform_conv2d(x, off, wgt, bias, mask=mask)
+        out = deform_conv2d_tile(
+            x, flow, off, wgt, bias, mask=mask,
+            tile=(4, 4), patch=(20, 32), ntb=4, lane_slice=True,
+            interpret=True)
+        err = jnp.mean(jnp.abs(ref - out)) / jnp.mean(jnp.abs(ref))
+        assert float(err) < 0.02, float(err)
+
     @pytest.mark.parametrize("tile,patch,ntb,lane", [
         ((4, 4), (20, 32), 8, False),
         ((4, 4), (20, 32), 8, True),
