@@ -33,6 +33,9 @@ from ..ops.warp import flow_warp
 from .common import leaky_relu
 from .registry import register_model
 
+# one-shot process-level notice that 'auto' picked the tile DCN kernel
+_TILE_NOTICE: list = []
+
 Array = jax.Array
 
 
@@ -160,8 +163,35 @@ class SecondOrderDeformableAlignment(nn.Module):
         use_tile = self.dcn_impl == "tile" or (
             self.dcn_impl == "auto" and jax.default_backend() == "tpu"
         )
+        # the gate must imply EVERY deform_conv2d_tile precondition, so odd
+        # resolutions fall back to the patch path instead of tracing into a
+        # kernel AssertionError: (ty,tx)=(2,4), ptx=32, ntb=16 →
+        #   h%2==0, w%4==0, ca=cin/2 ∈ {64,128},
+        #   (w + 2·ptx) % (8·xpack) == 0  (HBM sublane tiling of the padded
+        #   packed operand; xpack = 128/ca),
+        #   n_tiles = b·(h/2)·(w/4) divisible by ntb=16.
         if use_tile and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0 \
                 and x.shape[-1] // 2 in (64, 128):
+            _ca = x.shape[-1] // 2
+            _align = 8 * (128 // _ca)
+            _n_tiles = x.shape[0] * (x.shape[1] // 2) * (x.shape[2] // 4)
+            use_tile = (x.shape[2] + 64) % _align == 0 and _n_tiles % 16 == 0
+        else:
+            use_tile = False
+        if use_tile and self.dcn_impl == "auto" and not _TILE_NOTICE:
+            # surface the silent accuracy trade (ADVICE r2): the tile kernel
+            # zeroes bilinear supports that escape their patch (measured
+            # ≤2e-3 under realistic offsets, PERF.md); parity-critical runs
+            # should force dcn_impl='patch' / --exact-dcn
+            _TILE_NOTICE.append(True)
+            import logging
+
+            logging.getLogger("flair_tpu").info(
+                "dcn_impl='auto' on TPU selects the tile-anchored Pallas DCN "
+                "kernel (conditionally exact: out-of-patch bilinear supports "
+                "contribute zero; use dcn_impl='patch' for exact parity)"
+            )
+        if use_tile:
             anchor = jnp.stack(
                 [
                     jnp.stack([flow_1[..., 1], flow_1[..., 0]], axis=-1),

@@ -361,14 +361,24 @@ def tile_escape_fraction(
     *,
     tile: tuple[int, int] = (2, 2),
     patch: tuple[int, int] = (14, 32),
+    xpack: int = 2,
 ) -> Array:
     """Fraction of (pixel, group, tap) bilinear supports escaping their
     tile patch (and therefore zeroed). Diagnostic for the conditional
-    exactness contract (VERDICT round-1 item 6)."""
+    exactness contract (VERDICT round-1 item 6).
+
+    ``xpack`` = 128 // (cin // A), the kernel's x-pixel lane packing: it
+    sets the anchor alignment (8·xpack real pixels) and low-side margin,
+    so pass 1 for cin=256 sites and 2 (default) for cin=128 sites. The
+    anchor math below mirrors deform_conv2d_tile exactly, including the
+    border clipping of anchors into the padded operand."""
     b, h, w, g, kk, _ = offset.shape
     a = anchor_flow.shape[3]
     ty, tx = tile
     pty, ptx = patch
+    align = 8 * xpack
+    pad_y, pad_x = pty, ptx
+    hp, wp = h + 2 * pad_y, w + 2 * pad_x
     nty, ntx_t = h // ty, w // tx
     cdt = jnp.float32
     base_y = lax.broadcasted_iota(cdt, (b, h, w), 1)
@@ -380,8 +390,13 @@ def tile_escape_fraction(
         return jnp.min(v.reshape(b, nty, ty, ntx_t, tx, a), axis=(2, 4))
 
     ay = jnp.floor(tile_min(fy)) - (pty - ty) // 2
-    ax = jnp.floor(tile_min(fx)) - max((ptx - tx) // 2 - 8, 0)
-    ax = jnp.floor(ax / 16) * 16  # aligned anchors (HBM sublane tiling)
+    ax = jnp.floor(tile_min(fx)) - max((ptx - tx) // 2 - align // 2, 0)
+    # aligned + border-clipped anchors, as the kernel computes them
+    # (deform_conv2d_tile: (ax+pad_x) & ~(align-1), clip to [0, wp-ptx]);
+    # expressed back in unpadded coordinates for the residue test below
+    ay = jnp.clip(ay + pad_y, 0, hp - pty) - pad_y
+    ax = jnp.floor((ax + pad_x) / align) * align
+    ax = jnp.clip(ax, 0, wp - ptx) - pad_x
     ay_px = jnp.repeat(jnp.repeat(ay, ty, axis=1), tx, axis=2)
     ax_px = jnp.repeat(jnp.repeat(ax, ty, axis=1), tx, axis=2)
     ga = g // a
