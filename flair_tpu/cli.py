@@ -208,13 +208,18 @@ def main(argv=None) -> int:
         sp.add_argument("--t-start", type=int, default=-1)
         sp.add_argument("--window", type=int, default=10)
         sp.add_argument("--overlap", type=int, default=3)
-        sp.add_argument("--sampler", choices=("steps", "scan", "scan_p"),
+        sp.add_argument("--sampler", choices=("steps", "scan", "scan_p", "ddim"),
                         default="steps",
                         help="'steps': two jitted programs per guided step "
-                             "(compile-robust, default); 'scan_p': whole "
-                             "window as one program with all data as "
-                             "arguments (no dispatch overhead); 'scan': "
-                             "legacy monolithic program (bit-identical)")
+                             "(compile-robust, default); 'ddim': same "
+                             "dispatch with the standard η-DDIM update — "
+                             "the fast serving path (pair with --steps 25); "
+                             "'scan_p': whole window as one program with all "
+                             "data as arguments (no dispatch overhead); "
+                             "'scan': legacy monolithic program "
+                             "(bit-identical)")
+        sp.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity η (only with --sampler ddim)")
 
     args = p.parse_args(argv)
 
@@ -236,10 +241,15 @@ def main(argv=None) -> int:
     from .pipeline.wrappers import wrap_bicubic_model, wrap_blur_model
 
     cfg = TASK_CONFIGS[args.task]
+    steps = args.steps
+    if steps is not None and args.sampler == "ddim" and steps.isdigit():
+        # `--sampler ddim --steps 25` → the reference's exact-stride "ddimN"
+        # respacing (respace.py:23-31)
+        steps = f"ddim{steps}"
     overrides = {
         k: v
         for k, v in dict(
-            steps=args.steps, w=args.w, rho=args.rho,
+            steps=steps, w=args.w, rho=args.rho,
             noise_level=args.noise_level, zeta=args.zeta, tau=args.tau,
             jpeg_qf=args.jpeg_qf,
         ).items()
@@ -254,6 +264,12 @@ def main(argv=None) -> int:
         frames = frames[: args.frames]
 
     d = make_task_diffusion(cfg.task, cfg.steps)
+    if args.tau is None and d.num_timesteps != 100:
+        # default guidance windows (tau, demo defaults video_sample.py:499-556)
+        # are stated in 100-respaced-step units; keep the same FRACTION of the
+        # trajectory when the user respaces (e.g. ddim25 → tau 5 → 1)
+        cfg = dataclasses.replace(
+            cfg, tau=max(1, round(cfg.tau * d.num_timesteps / 100)))
     model, params = build_model(args.task, args.checkpoint,
                                 exact_dcn=args.exact_dcn)
     wrap = (
@@ -275,7 +291,7 @@ def main(argv=None) -> int:
         codeformer_apply=codeformer_apply,
         parsenet_apply=parsenet_apply,
         win=args.window, overlap=args.overlap,
-        sampler=args.sampler,
+        sampler=args.sampler, eta=args.eta,
     )
     save_frames(out, args.output_dir)
     print(f"wrote {out.shape[0]} frames to {args.output_dir}")

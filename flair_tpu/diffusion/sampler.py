@@ -133,12 +133,26 @@ def p_sample(
     face_fn: Optional[FaceFn] = None,
     pin_mask: Optional[Array] = None,
     pin_values: Optional[Array] = None,
+    rule: str = "ddpm",
+    eta: float = 0.0,
 ):
     """One guided reverse step (gaussian_diffusion.py:423-517), given the raw
     model output and pre-drawn gaussian noise ``z``.
 
     ``t`` is a scalar int32 (all batch elements share the step, as in the
     reference loop, gaussian_diffusion.py:664-665). Returns (sample, pred_xstart).
+
+    ``rule`` selects the x_{t-1} update family; guidance (data consistency,
+    face fusion, overlap pinning) is identical in both:
+
+    - ``"ddpm"``: FLAIR's ρ-interpolated update (gaussian_diffusion.py:507-515)
+      x_{t−1} = √ᾱ′·x0 + 1[t≠0]·√(1−ᾱ′)·(√(1−ρ)·ε̂ + √ρ·z), ᾱ′ = ᾱ_{t−1}.
+      Note this is already a *generalized DDIM* step with σ = √(ρ(1−ᾱ′)):
+      the ε̂ coefficient is √(1−ᾱ′−σ²). ρ=0 is exactly DDIM η=0.
+    - ``"ddim"``: the standard Song et al. η-parameterisation used with
+      respaced schedules (driver metric "frames/s (DDIM)"):
+      σ = η·√((1−ᾱ′)/(1−ᾱ))·√(1−ᾱ/ᾱ′);
+      x_{t−1} = √ᾱ′·x0 + 1[t≠0]·(√(1−ᾱ′−σ²)·ε̂ + σ·z). ``rho`` is ignored.
     """
     nd = x.ndim
     tb = jnp.full((x.shape[0],), t, dtype=jnp.int32) if jnp.ndim(t) == 0 else t
@@ -164,10 +178,25 @@ def p_sample(
 
     eps = predict_eps_from_xstart(d, x, tb, x0)
     nonzero = (tb != 0).astype(x.dtype).reshape((-1,) + (1,) * (nd - 1))
-    co_noise = extract(d.sqrt_one_minus_alphas_cumprod_prev, tb, nd)
-    sample = extract(d.sqrt_alphas_cumprod_prev, tb, nd) * x0 + nonzero * (
-        np.sqrt(1 - rho) * co_noise * eps + np.sqrt(rho) * co_noise * z
-    )
+    if rule == "ddpm":
+        co_noise = extract(d.sqrt_one_minus_alphas_cumprod_prev, tb, nd)
+        sample = extract(d.sqrt_alphas_cumprod_prev, tb, nd) * x0 + nonzero * (
+            np.sqrt(1 - rho) * co_noise * eps + np.sqrt(rho) * co_noise * z
+        )
+    elif rule == "ddim":
+        alpha_bar = extract(d.alphas_cumprod, tb, nd)
+        alpha_bar_prev = extract(d.alphas_cumprod_prev, tb, nd)
+        sigma = (
+            eta
+            * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
+            * jnp.sqrt(1 - alpha_bar / alpha_bar_prev)
+        )
+        sample = jnp.sqrt(alpha_bar_prev) * x0 + nonzero * (
+            jnp.sqrt(jnp.maximum(1 - alpha_bar_prev - sigma**2, 0.0)) * eps
+            + sigma * z
+        )
+    else:
+        raise ValueError(f"unknown update rule: {rule!r}")
     return sample, x0
 
 
@@ -182,8 +211,13 @@ def guided_sample_loop(
     face_fn: Optional[FaceFn] = None,
     pin_mask: Optional[Array] = None,
     pin_values: Optional[Array] = None,
+    rule: str = "ddpm",
+    eta: float = 0.0,
 ) -> Array:
     """Full guided DDPM loop as lax.scan (gaussian_diffusion.py:589-689).
+    ``rule="ddim"`` swaps in the standard η-DDIM update (see :func:`p_sample`)
+    with ALL guidance hooks intact — pair it with a respaced ``d`` (e.g.
+    ``make_task_diffusion(task, "ddim25")``) for the fast serving path.
 
     ``model_fn(x, t)`` receives the *spaced* step index t (scalar int32); use
     :func:`flair_tpu.diffusion.gaussian.map_timesteps` / ``sr3_noise_level``
@@ -217,6 +251,8 @@ def guided_sample_loop(
             face_fn=face_fn,
             pin_mask=pin_mask,
             pin_values=pin_values,
+            rule=rule,
+            eta=eta,
         )
         return (sample, rng), None
 
@@ -230,8 +266,12 @@ def make_guided_update(
     *,
     restore_fn=None,   # (x0, *restore_args) -> correction
     face_fn=None,      # (x0, x_t, *face_args) -> fused image
+    rule: str = "ddpm",
+    eta: float = 0.0,
 ):
     """Build the guidance-update half of the two-program sampler.
+    ``rule="ddim"`` selects the standard η-DDIM update (see :func:`p_sample`);
+    guidance hooks (restore/face/pin, ws/γ schedules) are identical.
 
     The guided step factors into [heavy model forward] + [cheap update]
     (p_sample). Compiling them as SEPARATE programs — instead of the
@@ -280,6 +320,8 @@ def make_guided_update(
             face_fn=ffn,
             pin_mask=pin_mask,
             pin_values=pin_values,
+            rule=rule,
+            eta=eta,
         )
         return sample, rng
 
@@ -301,6 +343,8 @@ def guided_sample_steps(
     jit_update: bool = True,
     restore_args=None,
     face_args=None,
+    rule: str = "ddpm",
+    eta: float = 0.0,
 ) -> Array:
     """Python-loop guided sampler: numerics identical to
     :func:`guided_sample_loop`, but dispatched as one model program + one
@@ -321,7 +365,8 @@ def guided_sample_steps(
             lambda x0, *a: restore_fn(x0))
         ffn = None if face_fn is None else (
             lambda x0, xt, *a: face_fn(x0, xt))
-        update = make_guided_update(d, cfg, restore_fn=rfn, face_fn=ffn)
+        update = make_guided_update(d, cfg, restore_fn=rfn, face_fn=ffn,
+                                    rule=rule, eta=eta)
         face_args = None if face_fn is None else ()
         if jit_update:
             update = jax.jit(update)

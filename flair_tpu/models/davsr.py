@@ -157,7 +157,13 @@ class DAVSRNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_after_first_prox: bool = False):
+        """``return_after_first_prox``: stop after the first data-consistency
+        prox (before the VSR++ regularizer) — the longest assembled prefix
+        that admits converted-weight parity with the reference, whose OWN
+        forward breaks at the second unfolding iteration (its regularizer
+        upsamples 4× against fixed-size OTFs, davsr.py:1914-1916 vs
+        :1374-1380; proven by tests/test_davsr_yolo.py)."""
         b, t, h, w, c = x.shape
         s0, s1, s2 = self.sf
         T, H, W = t * s0, h * s1, w * s2
@@ -244,6 +250,10 @@ class DAVSRNet(nn.Module):
         ab = HyPaNet(self.n_iter * 2, self.h_nc, name="hypanet")(
             jnp.asarray([[0.0, float(s0), float(s1)]], jnp.float32)
         )  # (1, 2·n_iter)
+
+        if return_after_first_prox:
+            alpha = ab[0, 0].astype(jnp.complex64).reshape(1, 1, 1, 1, 1)
+            return data_prox_3d(xt, FB, FBC, F2B, FBFy, alpha, self.sf)
 
         # ONE shared VSR++ regularizer across unfolding iterations
         # (davsr.py:1763-1772: self.vsr reused in the loop at :1914-1916)

@@ -157,6 +157,9 @@ def restore_video(
     overlap: int = OVERLAP,
     pad_tail: bool = True,
     sampler: str = "steps",
+    eta: float = 0.0,
+    mesh=None,
+    frame_axis: str = "frame",
 ) -> np.ndarray:
     """Restore a full clip window by window.
 
@@ -178,6 +181,18 @@ def restore_video(
     programs (model forward + guidance update) with all per-window tensors
     as runtime arguments — compile-robust at 512² and numerically identical
     to "scan", the monolithic lax.scan program of guided_sample_loop.
+    "ddim" uses the same two-program dispatch with the standard η-DDIM
+    update rule (``eta``; see diffusion.sampler.p_sample) — the fast
+    serving path when combined with a respaced diffusion (cfg.steps =
+    "ddimN"); all guidance hooks (consistency, face prior, pinning) apply.
+
+    ``mesh``: multi-chip serving. When a ``jax.sharding.Mesh`` is given,
+    every per-window tensor whose frame dim divides the mesh's
+    ``frame_axis`` is placed with a frame-sharded NamedSharding before the
+    jitted programs run; GSPMD propagates the sharding through the model
+    and update programs and inserts the ICI collectives (halo exchanges
+    for the temporal stack, psums for norm stats — SURVEY §5.7 mapping).
+    The host window loop (prev_recon chain) is unchanged.
 
     Returns (T, 512, 512, 3) in [0, 1].
     """
@@ -194,6 +209,24 @@ def restore_video(
     outputs = [None] * t_all
     prev_recon = None  # (1, overlap, H, W, 3) tail of previous window
 
+    # multi-chip serving: frame-shard the window tensors; GSPMD propagates
+    # through the jitted model/update programs and inserts ICI collectives
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _fsz = dict(zip(mesh.axis_names, mesh.devices.shape))[frame_axis]
+        _shard5 = NamedSharding(mesh, PartitionSpec(None, frame_axis))
+        _shard4 = NamedSharding(mesh, PartitionSpec(frame_axis))
+
+        def _shard(v, dim=1):
+            sh = _shard5 if dim == 1 else _shard4
+            if v is not None and v.shape[dim] % _fsz == 0:
+                return jax.device_put(v, sh)
+            return v
+    else:
+        def _shard(v, dim=1):
+            return v
+
     # SPyNet flows depend only on rnn_input (fixed per window): jit once,
     # compute once per window, pass into the sampler as a runtime argument
     # (the reference recomputes identical flows inside every denoiser
@@ -205,8 +238,10 @@ def restore_video(
     )
 
     has_apply_p = hasattr(model_apply, "apply_p")
+    rule = "ddim" if sampler == "ddim" else "ddpm"
     use_scan_p = sampler == "scan_p" and has_apply_p
-    use_steps = sampler == "steps" or (sampler == "scan_p" and not has_apply_p)
+    use_steps = sampler in ("steps", "ddim") or (
+        sampler == "scan_p" and not has_apply_p)
     # two-program sampler: one jitted model program (params + all window
     # tensors as arguments) + one jitted guidance-update program per
     # guidance variant, shared across every window of the clip
@@ -261,7 +296,8 @@ def restore_video(
     def get_update(g: GuidanceConfig):
         if g not in _update_cache:
             _update_cache[g] = jax.jit(make_guided_update(
-                d, g, restore_fn=restore_fn_p, face_fn=face_fn_p))
+                d, g, restore_fn=restore_fn_p, face_fn=face_fn_p,
+                rule=rule, eta=eta))
         return _update_cache[g]
 
     # scan_p: the ENTIRE window loop as one jitted program, every window
@@ -288,6 +324,7 @@ def restore_video(
                     restore_fn=lambda x0: restore_fn_p(x0, degraded),
                     face_fn=f_fn,
                     pin_mask=pin_mask, pin_values=pin_values,
+                    rule=rule, eta=eta,
                 )
 
             _scan_p_cache[g] = jax.jit(window_program)
@@ -360,6 +397,11 @@ def restore_video(
         # init is q_sampled at t_start when set, else T-1 (video_sample.py:378-397)
         t_init = d.num_timesteps - 1 if cfg.t_start == -1 else cfg.t_start
         x_t = q_sample(d, init, jnp.full((1,), t_init, jnp.int32), noise)
+        x_t = _shard(x_t)
+        low_res = _shard(low_res)
+        rnn_input = _shard(rnn_input)
+        if vsrpp_weights is not None:
+            vsrpp_weights = _shard(vsrpp_weights)
 
         restore = make_restore_fn(
             cfg.task,
@@ -379,12 +421,14 @@ def restore_video(
             mask = np.zeros((1, tw, 1, 1, 1), np.float32)
             mask[:, :overlap] = 1.0
             pin_mask = jnp.asarray(mask, bool)
-            pin_values = jnp.zeros_like(x_t).at[:, :overlap].set(prev_recon)
+            pin_values = _shard(
+                jnp.zeros_like(x_t).at[:, :overlap].set(prev_recon))
 
         flows = None if flows_jit is None else flows_jit(rnn_input)
 
         if use_scan_p:
-            degraded_dev = degraded_pm1.reshape(tw, *sl.shape[2:])
+            degraded_dev = _shard(
+                degraded_pm1.reshape(tw, *sl.shape[2:]), dim=0)
             if window_face_fn is None:
                 face_args = None
             elif face_fn is not None:
@@ -399,7 +443,8 @@ def restore_video(
             )
         elif use_steps:
             # two-program path: model + update, all window data as args
-            degraded_dev = degraded_pm1.reshape(tw, *sl.shape[2:])
+            degraded_dev = _shard(
+                degraded_pm1.reshape(tw, *sl.shape[2:]), dim=0)
             if window_face_fn is None:
                 face_args = None
             elif face_fn is not None:
@@ -451,6 +496,8 @@ def restore_video(
                 face_fn=window_face_fn,
                 pin_mask=pin_mask,
                 pin_values=pin_values,
+                rule=rule,
+                eta=eta,
             )
         sample.block_until_ready()
 

@@ -227,11 +227,31 @@ def _torchvision_module():
         out = F.interpolate(t, size=tuple(size), mode=mode, align_corners=False)
         return out[0] if nd == 3 else out
 
+    class Compose:
+        """transforms.Compose contract (davsr.py:1781-1787 call site)."""
+
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean, self.std = mean, std
+
+        def __call__(self, x):
+            return normalize(x, self.mean, self.std)
+
     tfunc.InterpolationMode = InterpolationMode
     tfunc.normalize = normalize
     tfunc.resize = resize
     transforms.functional = tfunc
     transforms.InterpolationMode = InterpolationMode
+    transforms.Compose = Compose
+    transforms.Normalize = Normalize
     tv.transforms = transforms
     tv.models = models
 

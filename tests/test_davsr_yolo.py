@@ -249,3 +249,135 @@ def test_davsr_hypanet_conversion_parity():
     np.testing.assert_allclose(
         np.asarray(j_out), t_out.numpy().reshape(2, 8), atol=1e-5,
         err_msg="hypanet mismatch")
+
+
+def _import_ref_davsr():
+    import sys
+
+    import pytest
+
+    if "/root/repo/tests" not in sys.path:
+        sys.path.insert(0, "/root/repo/tests")
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    try:
+        import importlib
+
+        return importlib.import_module("guided_diffusion.davsr")
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+
+@pytest.mark.slow
+def test_reference_davsr_forward_breaks_at_second_iteration():
+    """Documented repro (VERDICT r2 item 6): the reference DAVSRNet's OWN
+    assembled forward is resolution-inconsistent — its BasicVSRPP
+    regularizer (is_low_res_input=True) upsamples 4× per unfolding
+    iteration (davsr.py:1374-1380) while the data prox's OTFs are
+    precomputed at the fixed (sf·t, sf·w, sf·h) volume (davsr.py:1852-1859),
+    so iteration 2's prox receives a 4×-sized tensor and the FFT algebra
+    fails. This is why our DAVSRNet keeps a same-size regularizer by design
+    (models/davsr.ImageVSRPP) instead of a converted-weight port."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    ref_mod = _import_ref_davsr()
+
+    torch.manual_seed(0)
+    ref = ref_mod.DAVSRNet(
+        n_iter=2, h_nc=8, mid_channels=8, num_blocks=1,
+        max_residue_magnitude=10, is_low_res_input=True, sf=(5, 4, 4),
+    ).eval()
+    x = torch.from_numpy(
+        np.random.RandomState(0).rand(1, 2, 3, 32, 32).astype(np.float32))
+    with torch.no_grad(), pytest.raises(RuntimeError):
+        ref(x)
+
+
+@pytest.mark.slow
+def test_davsr_assembled_prefix_parity_with_converted_weights():
+    """Assembled-forward parity for the longest prefix the reference can
+    actually run (davsr.py:1846-1913): SuperSloMo temporal interpolation →
+    frame assembly with end pads → bilinear align_corners upsample →
+    HyPaNet α → FIRST data-consistency prox — our DAVSRNet.__call__ with
+    return_after_first_prox vs the reference modules executing the same
+    forward body, with converted weights."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    ref_mod = _import_ref_davsr()
+
+    import jax.numpy as jnp
+
+    from flair_tpu.models.davsr import DAVSRNet
+    from flair_tpu.utils.convert import convert_davsr_aux
+
+    torch.manual_seed(0)
+    ref = ref_mod.DAVSRNet(
+        n_iter=2, h_nc=8, mid_channels=8, num_blocks=1,
+        max_residue_magnitude=10, is_low_res_input=True, sf=(5, 4, 4),
+    ).eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    b, t, c, w, h = 1, 2, 3, 32, 32
+    sf = (5, 4, 4)
+    x_np = np.random.RandomState(1).rand(b, t, c, w, h).astype(np.float32)
+    x = torch.from_numpy(x_np)
+
+    # ---- reference forward body up to the first self.d call
+    # (davsr.py:1838-1914, verbatim semantics) ----------------------------
+    with torch.no_grad():
+        xp = x.permute(0, 2, 1, 3, 4)
+        k = torch.tensor(ref_mod.ker_x4).repeat(b, 1, 5, 1, 1) / 5
+        FB = ref_mod.ps2ot(k, (sf[0] * t, sf[1] * w, sf[2] * h))
+        FBC = torch.conj(FB)
+        F2B = torch.pow(torch.abs(FB), 2)
+        STy = ref_mod.upsample3D(xp, sf)
+        FBFy = FBC * torch.fft.fftn(STy, dim=(2, 3, 4))
+        back_warp = ref_mod.backWarp(h, w, x.device)
+        x0 = ref.trans_forward(xp.permute(0, 2, 1, 3, 4).reshape(-1, c, w, h)
+                               ).view(b, t, c, w, h)
+        frame0 = x0[:, :-1].reshape(-1, c, w, h)
+        frame1 = x0[:, 1:].reshape(-1, c, w, h)
+        x_inter = ref.interpolate_batch(
+            frame0, frame1, sf[0], ref.flow, ref.interp, back_warp)
+        x_inter = torch.stack(x_inter, dim=1).view(-1, c, w, h)
+        x_inter = ref.trans_backward(x_inter).view(
+            b, t - 1, sf[0] - 1, c, w, h)
+        x0 = ref.trans_backward(x0.view(-1, c, w, h)).view(b, t, c, w, h)
+        out_x = [x0[:, 0].unsqueeze(1).repeat(1, 2, 1, 1, 1)]
+        for i in range(t - 1):
+            out_x.append(x0[:, i].unsqueeze(1))
+            out_x.append(x_inter[:, i])
+        out_x.append(x0[:, -1].unsqueeze(1))
+        out_x.append(x0[:, -1].unsqueeze(1).repeat(1, 2, 1, 1, 1))
+        xx = torch.cat(out_x, dim=1)
+        xx = F.interpolate(
+            xx.view(-1, c, w, h), scale_factor=sf[1:], mode="bilinear",
+            align_corners=True,
+        ).view(b, t * sf[0], c, w * sf[1], h * sf[2])
+        xx = xx.permute(0, 2, 1, 3, 4)
+        ab = ref.h(torch.cat((
+            torch.zeros(b, 1, 1, 1, 1),
+            torch.tensor(float(sf[0])).expand(b, 1, 1, 1, 1),
+            torch.tensor(float(sf[1])).expand(b, 1, 1, 1, 1)), dim=1))
+        ref_prox = ref.d(xx, FB, FBC, F2B, FBFy, ab[:, 0:1], sf)
+    ref_out = ref_prox.permute(0, 2, 3, 4, 1).numpy()  # (b, T, H, W, c)
+
+    # ---- ours with converted weights ------------------------------------
+    variables = convert_davsr_aux(state)
+    model = DAVSRNet(n_iter=2, h_nc=8, mid_channels=8, num_blocks=1,
+                     sf=sf)
+    x_ours = jnp.asarray(x_np.transpose(0, 1, 3, 4, 2))  # (b,t,h,w,c)
+    j_prox = model.apply(variables, x_ours, return_after_first_prox=True)
+
+    assert j_prox.shape == ref_out.shape
+    np.testing.assert_allclose(
+        np.asarray(j_prox), ref_out, atol=3e-3,
+        err_msg="DAVSRNet assembled prefix (interp→assemble→upsample→"
+                "HyPaNet→prox) diverges from the reference")

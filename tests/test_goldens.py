@@ -1,0 +1,86 @@
+"""Golden-output regression: restore_video vs archived reference outputs.
+
+The goldens (goldens/x8_s64/) are produced by tools/make_goldens.py — the
+reference demo driver semantics run with the reference's OWN
+SpacedDiffusion + SRConv and a real seeded-random sr3.UNet at reduced
+size/steps (BASELINE.md:20-23 procedure), with the converted flax weights
+archived alongside. This test re-runs OUR pipeline from the archive and
+asserts PSNR against the reference PNGs — catching any drift in the model,
+the converter, the operators, or the sampler without needing torch.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = os.path.join(ROOT, "goldens", "x8_s64")
+
+
+@pytest.mark.slow
+def test_restore_video_matches_archived_reference_goldens():
+    if not os.path.exists(os.path.join(GOLD, "meta.json")):
+        pytest.skip("goldens not generated (tools/make_goldens.py)")
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from metrics import load_frames, psnr, ssim
+
+    from flair_tpu.diffusion import GuidanceConfig, make_task_diffusion
+    from flair_tpu.models.sr3 import BicubicUNet
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+    from flair_tpu.pipeline.wrappers import wrap_bicubic_model
+    from flair_tpu.utils.checkpoint import unflatten_params
+
+    meta = json.load(open(os.path.join(GOLD, "meta.json")))
+    size, steps = meta["size"], meta["steps"]
+    degraded01 = np.load(os.path.join(GOLD, "degraded01.npy"))
+    flat = dict(np.load(os.path.join(GOLD, "params.npz")))
+    variables = unflatten_params(flat)
+    ref_out = load_frames(GOLD)
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=size,
+        input_size=size // meta["factor"], steps=str(steps),
+        w=meta["w"], rho=meta["rho"], zeta=meta["zeta"], tau=meta["tau"],
+        noise_level=0.0, vsrpp_bg_weight=0.0,
+    )
+    d = make_task_diffusion(cfg.task, cfg.steps)
+    model = BicubicUNet(
+        inner_channel=32, norm_groups=16, channel_mults=(1, 2),
+        attn_res=(32,), vsrpp_res=(64,), image_size=size, res_blocks=1,
+        num_frames=meta["win"], head_dim=8, temporal_attn=True,
+        cross_frame_module=True,
+    )
+    model_apply = wrap_bicubic_model(d, model, variables)
+
+    normal_orig = jax.random.normal
+
+    def zeros_normal(key, shape=None, dtype=jnp.float32):
+        return jnp.zeros(shape if shape is not None else (), dtype)
+
+    jax.random.normal = zeros_normal
+    try:
+        ours = restore_video(
+            degraded01, cfg, model_apply, diffusion=d,
+            guidance=GuidanceConfig(
+                use_aux=False, w=meta["w"], rho=meta["rho"], tau=meta["tau"],
+                zeta=meta["zeta"], noise_level=0.0),
+            win=meta["win"], overlap=meta["overlap"], pad_tail=False,
+        )
+    finally:
+        jax.random.normal = normal_orig
+
+    assert ours.shape == ref_out.shape
+    p = psnr(ours, ref_out)
+    s = ssim(ours, ref_out)
+    # the goldens are uint8-quantized PNGs (≤48 dB representable); the
+    # generation-time float-vs-float agreement is recorded in meta.json
+    assert p > 40.0, f"PSNR vs archived reference goldens: {p:.2f} dB"
+    assert s > 0.99, f"SSIM vs archived reference goldens: {s:.4f}"

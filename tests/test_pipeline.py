@@ -312,3 +312,88 @@ def test_restore_video_steps_face_params_threaded_matches_scan():
     out_steps = restore_video(frames, cfg, model_apply, sampler="steps", **kw)
     out_scan = restore_video(frames, cfg, model_apply, sampler="scan", **kw)
     np.testing.assert_array_equal(out_steps, out_scan)
+
+
+def test_ddim_respacing_all_tasks():
+    """The reference respacing accepts "ddimN" (respace.py:23-31); every demo
+    task's original T (2000 bicubic / 1000 blur) admits an exact-stride 25."""
+    from flair_tpu.diffusion import make_task_diffusion
+
+    for task in ("x8_bicubic", "x16_bicubic", "gaussian", "jpeg"):
+        d = make_task_diffusion(task, "ddim25")
+        assert d.num_timesteps == 25
+
+
+def test_ddim_eta0_equals_ddpm_rho0_end_to_end():
+    """sampler="ddim" (η=0) must equal sampler="steps" at ρ=0 bit-for-bit:
+    FLAIR's ρ-interpolated update (gaussian_diffusion.py:507-515) is a
+    generalized DDIM step with σ=√(ρ(1−ᾱ')), so ρ=0 coincides with η=0 DDIM
+    — this validates the fast serving path end-to-end through restore_video
+    (windows, pinning, data consistency)."""
+    import dataclasses
+
+    from flair_tpu.diffusion import make_task_diffusion
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=64, input_size=8,
+        steps="ddim4", rho=0.0,
+    )
+    d = make_task_diffusion(cfg.task, cfg.steps)
+
+    def model_apply(x, t, low_res, rnn, w):
+        return 0.1 * jnp.tanh(x)  # deterministic nontrivial ε̂
+
+    frames = np.random.RandomState(1).rand(5, 8, 8, 3).astype(np.float32)
+    kw = dict(diffusion=d, win=3, overlap=1)
+    out_ddim = restore_video(
+        frames, cfg, model_apply, sampler="ddim", eta=0.0, **kw)
+    out_ddpm = restore_video(frames, cfg, model_apply, sampler="steps", **kw)
+    # not bit-identical: the DDPM rule reads host-f64-derived √ tables while
+    # the DDIM rule computes √(ᾱ') in f32 on device — same math, f32 rounding
+    np.testing.assert_allclose(out_ddim, out_ddpm, atol=5e-5)
+    # η>0 re-injects noise → must differ
+    out_eta = restore_video(
+        frames, cfg, model_apply, sampler="ddim", eta=0.5, **kw)
+    assert not np.array_equal(out_eta, out_ddim)
+
+
+def test_ddim_reduced_steps_degradation_consistency():
+    """Cutting the step count (guided DDIM-8) must not break the
+    measurement-consistency the γ-projection enforces every step
+    (gaussian_diffusion.py:465-470): the ε̂=0 stub trajectory has an
+    inherent consistency floor (~0.08 at 8 DDPM steps, measured), so the
+    assertion is RELATIVE — DDIM-8 within 1.5× of DDPM-8's error."""
+    import dataclasses
+
+    from flair_tpu.diffusion import make_task_diffusion
+    from flair_tpu.operators.factory import get_operator
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+
+    def model_apply(x, t, low_res, rnn, w):
+        return jnp.zeros_like(x)  # ε̂ = 0
+
+    rs = np.random.RandomState(2)
+    size, inp = 32, 4
+    frames = rs.rand(4, inp, inp, 3).astype(np.float32)
+    op = get_operator("x8_bicubic", size)
+    deg = frames * 2.0 - 1.0
+
+    def consistency_err(steps, sampler):
+        cfg = dataclasses.replace(
+            TASK_CONFIGS["x8_bicubic"], output_size=size, input_size=inp,
+            steps=steps,
+        )
+        d = make_task_diffusion(cfg.task, cfg.steps)
+        out = restore_video(
+            frames, cfg, model_apply, sampler=sampler, diffusion=d,
+            win=4, overlap=1)
+        re_deg = np.asarray(
+            op.A(jnp.asarray(out * 2.0 - 1.0).reshape(4, -1))
+        ).reshape(4, inp, inp, 3)
+        return np.abs(re_deg - deg).mean()
+
+    err_ddim = consistency_err("ddim8", "ddim")
+    err_ddpm = consistency_err("8", "steps")
+    assert err_ddim < 1.5 * err_ddpm + 1e-6, (err_ddim, err_ddpm)
+    assert err_ddim < 0.25, f"guided DDIM inconsistent with measurement: {err_ddim}"

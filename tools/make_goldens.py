@@ -1,0 +1,246 @@
+"""Generate golden restoration outputs from the REFERENCE pipeline.
+
+VERDICT r2 item 5 / BASELINE.md:20-23: the reference publishes no numbers
+and no released weights are reachable here, so the golden procedure is —
+run the reference demo driver semantics (scripts/video_sample.py:361-487
+windowing + gaussian_diffusion.py:423-689 guided sampling with the
+reference's OWN SpacedDiffusion + SRConv) on CPU at reduced size/steps
+with a real, seeded-random reference sr3.UNet; archive its outputs + the
+converted flax weights; every future round scores our restore_video
+against the archive (tests/test_goldens.py) with tools/metrics.py.
+
+Deterministic: rho=0 removes in-loop noise; torch.randn is stubbed to
+zeros for the q_sample init on both sides.
+
+Usage:  python tools/make_goldens.py            # writes goldens/x8_s64/
+        python tools/make_goldens.py --check    # also run ours + report
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SIZE, FACTOR, T, WIN, OV, STEPS = 64, 8, 5, 3, 1, 4
+W, RHO, ZETA, TAU = 0.85, 0.0, -1, 0
+OUT_DIR = os.path.join(ROOT, "goldens", "x8_s64")
+
+
+def build_reference_unet():
+    import torch
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    torch.cuda.is_available = lambda: True  # unet.py:362 gates deform_align
+    from guided_diffusion.sr3 import UNet as RefUNet
+
+    torch.manual_seed(0)
+    ref = RefUNet(
+        in_channel=6, out_channel=3, inner_channel=32, norm_groups=16,
+        channel_mults=(1, 2), attn_res=(32,), vsrpp_res=(64,),
+        spatial_attn=False, temporal_attn=True, res_blocks=1, dropout=0.0,
+        image_size=SIZE, cross_frame_module=True, num_frames=WIN, head_dim=8,
+    ).eval()
+    with torch.no_grad():
+        # zero-init gates would silence the temporal paths entirely
+        for _, p in ref.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.05)
+    return ref
+
+
+def run_reference(ref, degraded01):
+    """Faithful replication of the demo windowed driver over the reference's
+    SpacedDiffusion.sample (the same replication the slow agreement test
+    validates against restore_video, tests/test_convert_parity.py:260)."""
+    import torch
+    import torchvision.transforms.functional as VF
+
+    from guided_diffusion import gaussian_diffusion as gd
+    from guided_diffusion import respace as rsp
+    from guided_diffusion import restore_util as ru
+
+    from flair_tpu.pipeline.video import window_slices
+
+    dcfg = dict(
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.FIXED_SMALL,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+    )
+    betas = gd.get_named_beta_schedule("face_bicubic", 2000)
+    ref_d = rsp.SpacedDiffusion(
+        use_timesteps=rsp.space_timesteps(2000, str(STEPS)), betas=betas,
+        **dcfg)
+
+    def bicubic_kernel(x, a=-0.5):
+        if abs(x) <= 1:
+            return (a + 2) * abs(x) ** 3 - (a + 3) * abs(x) ** 2 + 1
+        if 1 < abs(x) < 2:
+            return (a * abs(x) ** 3 - 5 * a * abs(x) ** 2
+                    + 8 * a * abs(x) - 4 * a)
+        return 0
+
+    k = np.zeros(FACTOR * 4)
+    for i in range(FACTOR * 4):
+        k[i] = bicubic_kernel(
+            (1 / FACTOR) * (i - np.floor(FACTOR * 4 / 2) + 0.5))
+    k = k / k.sum()
+    A = ru.SRConv(torch.from_numpy(k).float(), 3, SIZE,
+                  torch.device("cpu"), stride=FACTOR)
+
+    dg = torch.from_numpy(degraded01.transpose(0, 3, 1, 2))[None]
+    randn_orig, has_rl = torch.randn, hasattr(torch, "randn_like")
+    randn_like_orig = torch.randn_like
+    torch.randn = lambda *a, **kw: torch.zeros(
+        *a, **{k_: v for k_, v in kw.items() if k_ != "generator"})
+    torch.randn_like = lambda x: torch.zeros_like(x)
+    try:
+        prev = None
+        rec = []
+        for idx, length in window_slices(T, WIN, OV):
+            sl = dg[:, idx: idx + length]
+            init = VF.resize(sl.squeeze(0), (SIZE, SIZE),
+                             VF.InterpolationMode.BICUBIC).clamp(0, 1)[None]
+            sl_pm = (sl - 0.5) / 0.5
+            init_pm = (init - 0.5) / 0.5
+            noise = ref_d.q_sample(
+                init_pm.reshape(length, 3, SIZE, SIZE),
+                torch.full((length,), ref_d.num_timesteps - 1,
+                           dtype=torch.long),
+            )
+            mk = {"low_res_input": init_pm, "num_frames": length,
+                  "rnn_input": init_pm}
+            rfn = lambda x: A.A_pinv(  # noqa: E731
+                A.A(x.reshape(x.shape[0], -1))
+                - sl_pm.reshape(x.shape[0], -1)
+            ).reshape(*x.size())
+            with torch.no_grad():
+                out = ref_d.sample(
+                    ref, noise, model_kwargs=mk, restore_fn=rfn,
+                    face_restore_helper=None,
+                    aux_model=lambda x0, t, xt: x0, post_fn=None,
+                    clip_denoised=True, sample_mode="ddpm", w=W, tau=TAU,
+                    rho=RHO, noise_level=0.0, prev_recon=prev, zeta=ZETA,
+                    t_start=-1, aligned=True,
+                )
+            out = out.reshape(1, length, 3, SIZE, SIZE)
+            if prev is not None:
+                out = out[:, OV:]
+            prev = out[:, -OV:].clone()
+            rec.append(((out.clamp(-1, 1) + 1) / 2).numpy())
+        return np.concatenate(rec, 1)[0].transpose(0, 2, 3, 1)
+    finally:
+        torch.randn = randn_orig
+        if has_rl:
+            torch.randn_like = randn_like_orig
+
+
+def run_ours(variables, degraded01):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from flair_tpu.diffusion import GuidanceConfig, make_task_diffusion
+    from flair_tpu.models.sr3 import BicubicUNet
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+    from flair_tpu.pipeline.wrappers import wrap_bicubic_model
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["x8_bicubic"], output_size=SIZE, input_size=SIZE // 8,
+        steps=str(STEPS), w=W, rho=RHO, zeta=ZETA, tau=TAU, noise_level=0.0,
+        vsrpp_bg_weight=0.0,
+    )
+    d = make_task_diffusion(cfg.task, cfg.steps)
+    model = BicubicUNet(
+        inner_channel=32, norm_groups=16, channel_mults=(1, 2),
+        attn_res=(32,), vsrpp_res=(64,), image_size=SIZE, res_blocks=1,
+        num_frames=WIN, head_dim=8, temporal_attn=True,
+        cross_frame_module=True,
+    )
+    model_apply = wrap_bicubic_model(d, model, variables)
+
+    normal_orig = jax.random.normal
+
+    def zeros_normal(key, shape=None, dtype=jnp.float32):
+        return jnp.zeros(shape if shape is not None else (), dtype)
+
+    jax.random.normal = zeros_normal
+    try:
+        return restore_video(
+            degraded01, cfg, model_apply, diffusion=d,
+            guidance=GuidanceConfig(use_aux=False, w=W, rho=RHO, tau=TAU,
+                                    zeta=ZETA, noise_level=0.0),
+            win=WIN, overlap=OV, pad_tail=False,
+        )
+    finally:
+        jax.random.normal = normal_orig
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+
+    ref = build_reference_unet()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from flair_tpu.utils.checkpoint import flatten_params
+    from flair_tpu.utils.convert import convert_bicubic_unet
+
+    variables = convert_bicubic_unet(state, channel_mults=(1, 2),
+                                     res_blocks=1)
+
+    rs = np.random.RandomState(0)
+    degraded01 = rs.rand(T, SIZE // FACTOR, SIZE // FACTOR, 3).astype(
+        np.float32)
+
+    print("# running reference driver...", file=sys.stderr)
+    ref_out = run_reference(ref, degraded01)
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    import cv2
+
+    for i, f in enumerate(ref_out):
+        cv2.imwrite(
+            os.path.join(OUT_DIR, f"ref_{i:03d}.png"),
+            cv2.cvtColor((np.clip(f, 0, 1) * 255).round().astype(np.uint8),
+                         cv2.COLOR_RGB2BGR),
+        )
+    np.save(os.path.join(OUT_DIR, "degraded01.npy"), degraded01)
+    np.savez(os.path.join(OUT_DIR, "params.npz"),
+             **flatten_params(variables))
+    meta = {
+        "size": SIZE, "factor": FACTOR, "frames": T, "win": WIN,
+        "overlap": OV, "steps": STEPS,
+        "w": W, "rho": RHO, "zeta": ZETA, "tau": TAU,
+        "model": "sr3.UNet ic=32 cm=(1,2) attn=(32,) vsrpp=(64,) nf=3 hd=8",
+        "seed": 0,
+        "procedure": "BASELINE.md:20-23 reduced-step CPU golden",
+    }
+
+    if check:
+        print("# running our pipeline...", file=sys.stderr)
+        ours = run_ours(variables, degraded01)
+        from metrics import psnr, ssim
+
+        meta["psnr_vs_ref_float"] = round(psnr(ours, ref_out), 3)
+        meta["ssim_vs_ref_float"] = round(float(ssim(ours, ref_out)), 5)
+        print(json.dumps({k: meta[k] for k in
+                          ("psnr_vs_ref_float", "ssim_vs_ref_float")}))
+
+    with open(os.path.join(OUT_DIR, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote {OUT_DIR}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
