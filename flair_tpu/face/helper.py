@@ -170,7 +170,9 @@ def make_face_fn_p(
     aligned: bool = False,
 ) -> Callable[[Array, Array, Array], Array]:
     """Parameterised :func:`make_face_fn`: the per-window affine matrices
-    enter per CALL — ``face_fn(x0, x_t, mats)`` with mats (T, 2, 3).
+    enter per CALL — ``face_fn(x0, x_t, mats)`` with mats (T, 2, 3), or
+    (B, T, 2, 3) / (B·T, 2, 3) for batched multi-clip serving (per-clip
+    matrices; a (T, 2, 3) input is tiled across the batch).
 
     Needed by the two-program (steps) sampler: matrices baked into the
     closure would retrace (and recompile) the guidance-update program on
@@ -186,7 +188,9 @@ def make_face_fn_p(
             restored = codeformer_apply(frames)
             return restored.reshape(b, t, h, w, c)
 
-        m = jnp.tile(mats, (b, 1, 1))
+        m = mats.reshape(-1, 2, 3)
+        if m.shape[0] != b * t:
+            m = jnp.tile(m, (b, 1, 1))
         # crop with gray constant border (face_restoration_helper.py:203-209)
         crop = warp_affine(
             frames - border, m, (face_size, face_size), mode="bicubic"

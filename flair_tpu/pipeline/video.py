@@ -163,7 +163,10 @@ def restore_video(
 ) -> np.ndarray:
     """Restore a full clip window by window.
 
-    ``degraded01``: (T, h, w, 3) in [0, 1] host array.
+    ``degraded01``: (T, h, w, 3) in [0, 1] host array — or (B, T, h, w, 3)
+    to restore B independent clips batched through the same compiled
+    programs (serving throughput; returns (B, T, H, W, 3)). Each clip's
+    windows remain sequential through its own prev_recon chain.
     ``model_apply(x, t, low_res, rnn_input, vsrpp_weights)`` is the wrapped
     denoiser returning the raw model output for spaced step t.
 
@@ -202,12 +205,18 @@ def restore_video(
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     operator = get_operator(cfg.task, cfg.output_size)
-    t_all = degraded01.shape[0]
-    frames = jnp.asarray(degraded01, jnp.float32)
+    # batched multi-clip serving: (B, T, h, w, 3) restores B INDEPENDENT
+    # clips through the same compiled programs (per-step fixed costs
+    # amortise across the batch; clips are independent in production, so
+    # this is the throughput lever on top of DDIM respacing)
+    batched = degraded01.ndim == 5
+    frames = jnp.asarray(
+        degraded01 if batched else degraded01[None], jnp.float32)
+    nclips, t_all = frames.shape[0], frames.shape[1]
     is_blur_task = cfg.task in ("gaussian", "jpeg")
 
-    outputs = [None] * t_all
-    prev_recon = None  # (1, overlap, H, W, 3) tail of previous window
+    outputs = [None] * t_all  # each (B, H, W, 3)
+    prev_recon = None  # (B, overlap, H, W, 3) tail of previous window
 
     # multi-chip serving: frame-shard the window tensors; GSPMD propagates
     # through the jitted model/update programs and inserts ICI collectives
@@ -331,7 +340,7 @@ def restore_video(
         return _scan_p_cache[g]
 
     for wi, (start, length) in enumerate(window_slices(t_all, win, overlap)):
-        sl = frames[start : start + length][None]  # (1, Tw, h, w, 3) in [0,1]
+        sl = frames[:, start : start + length]  # (B, Tw, h, w, 3) in [0,1]
         if pad_tail and length < win:
             sl = jnp.concatenate(
                 [sl, jnp.repeat(sl[:, -1:], win - length, axis=1)], axis=1
@@ -359,24 +368,33 @@ def restore_video(
         # (video_sample.py:427-444): weight = 1[bg]·0.93/0.98 + 1[face]·1.
         vsrpp_weights = None
         if cfg.vsrpp_bg_weight > 0 and parsenet_apply is not None:
-            logits = parsenet_apply(init.reshape(tw, *init.shape[2:]))
+            logits = parsenet_apply(
+                init.reshape(nclips * tw, *init.shape[2:]))
             bg = (jnp.argmax(logits, axis=-1) == 0).astype(jnp.float32)[..., None]
             vsrpp_weights = (
                 bg * cfg.vsrpp_bg_weight + (1.0 - bg) * 1.0
-            )[None]  # (1, Tw, H, W, 1)
+            ).reshape(nclips, tw, *bg.shape[1:])  # (B, Tw, H, W, 1)
 
         # face prior: detect once per window on the init frames
         # (video_sample.py:446-448), fuse on device per step.
         window_face_fn = face_fn
         mats = None
         if window_face_fn is None and face_helper is not None and codeformer_apply:
-            init01 = np.asarray((init[0] + 1.0) / 2.0)
-            mats = _fill_missing_matrices(
-                face_helper.get_affine_matrices(
-                    init01, only_keep_largest=True, eye_dist_threshold=0.1
+            mats_list = [
+                _fill_missing_matrices(
+                    face_helper.get_affine_matrices(
+                        np.asarray((init[bi] + 1.0) / 2.0),
+                        only_keep_largest=True, eye_dist_threshold=0.1,
+                    )
                 )
-            )
-            if mats is not None:
+                for bi in range(nclips)
+            ]
+            if all(m is not None for m in mats_list):
+                # (B, Tw, 2, 3) per-clip matrices; a window where ANY clip
+                # has no detectable face runs without the prior for the
+                # whole batch (conservative; single-clip semantics match
+                # the reference, video_sample.py:446-448)
+                mats = (np.stack(mats_list) if batched else mats_list[0])
                 window_face_fn = make_face_fn(
                     mats, codeformer_apply, parsenet_apply,
                     face_size=cfg.output_size,
@@ -406,7 +424,7 @@ def restore_video(
         restore = make_restore_fn(
             cfg.task,
             operator,
-            degraded_pm1.reshape(tw, *sl.shape[2:]),
+            degraded_pm1.reshape(nclips * tw, *sl.shape[2:]),
             jpeg_qf=cfg.jpeg_qf,
         )
 
@@ -428,7 +446,7 @@ def restore_video(
 
         if use_scan_p:
             degraded_dev = _shard(
-                degraded_pm1.reshape(tw, *sl.shape[2:]), dim=0)
+                degraded_pm1.reshape(nclips * tw, *sl.shape[2:]), dim=0)
             if window_face_fn is None:
                 face_args = None
             elif face_fn is not None:
@@ -444,7 +462,7 @@ def restore_video(
         elif use_steps:
             # two-program path: model + update, all window data as args
             degraded_dev = _shard(
-                degraded_pm1.reshape(tw, *sl.shape[2:]), dim=0)
+                degraded_pm1.reshape(nclips * tw, *sl.shape[2:]), dim=0)
             if window_face_fn is None:
                 face_args = None
             elif face_fn is not None:
@@ -502,10 +520,11 @@ def restore_video(
         sample.block_until_ready()
 
         keep_from = overlap if prev_recon is not None else 0
-        recon = np.asarray(sample[0])
+        recon = np.asarray(sample)  # (B, Tw, H, W, 3)
         for i in range(keep_from, length):
-            outputs[start + i] = recon[i]
+            outputs[start + i] = recon[:, i]
         prev_recon = jnp.asarray(sample[:, length - overlap : length])
 
-    out = np.stack(outputs)  # (T, H, W, 3) in [-1, 1]
-    return np.clip((out + 1.0) / 2.0, 0.0, 1.0)
+    out = np.stack(outputs, axis=1)  # (B, T, H, W, 3) in [-1, 1]
+    out = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
+    return out if batched else out[0]
