@@ -189,6 +189,14 @@ def run_ours(variables, degraded01):
 def main() -> int:
     check = "--check" in sys.argv
 
+    # this machine's sitecustomize registers the axon TPU plugin at
+    # interpreter startup; the goldens are a CPU procedure — pin the
+    # platform BEFORE the first backend touch (tests/conftest.py pattern)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     ref = build_reference_unet()
     state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
