@@ -36,6 +36,25 @@ from .registry import register_model
 # one-shot process-level notice that 'auto' picked the tile DCN kernel
 _TILE_NOTICE: list = []
 
+
+def _tile_config(pty: int):
+    """Tile-DCN kernel configuration: (tile, patch, ntb, lane_slice).
+
+    Default is the round-2 measured config ((2,4)/(pty,32)/16). Override
+    with FLAIR_DCN_TILE="ty,tx,pty_pad,ptx,ntb[,lane]" to flip on the
+    tools/profile_ops.py `tile` sweep winner without code edits —
+    ``pty_pad`` is ADDED to the M-derived patch height (so one env value
+    serves both the SR3 M=5/pty=16 and ADM M=10/pty=24 routings)."""
+    import os
+
+    env = os.environ.get("FLAIR_DCN_TILE")
+    if not env:
+        return (2, 4), (pty, 32), 16, False
+    parts = [p.strip() for p in env.split(",")]
+    ty, tx, pty_pad, ptx, ntb = (int(p) for p in parts[:5])
+    lane = len(parts) > 5 and parts[5] == "lane"
+    return (ty, tx), (pty + pty_pad, ptx), ntb, lane
+
 Array = jax.Array
 
 
@@ -165,17 +184,25 @@ class SecondOrderDeformableAlignment(nn.Module):
         )
         # the gate must imply EVERY deform_conv2d_tile precondition, so odd
         # resolutions fall back to the patch path instead of tracing into a
-        # kernel AssertionError: (ty,tx)=(2,4), ptx=32, ntb=16 →
-        #   h%2==0, w%4==0, ca=cin/2 ∈ {64,128},
-        #   (w + 2·ptx) % (8·xpack) == 0  (HBM sublane tiling of the padded
-        #   packed operand; xpack = 128/ca),
-        #   n_tiles = b·(h/2)·(w/4) divisible by ntb=16.
-        if use_tile and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0 \
+        # kernel AssertionError. For config (ty,tx)/(pty,ptx)/ntb:
+        #   h%ty==0, w%tx==0, ca=cin/2 ∈ {64,128},
+        #   ptx % (16·xpack) == 0 and (w + 2·ptx) % (8·xpack) == 0 (HBM
+        #   sublane tiling of the padded packed operand; xpack = 128/ca),
+        #   n_tiles = b·(h/ty)·(w/tx) divisible by ntb.
+        _pty0 = 16 if self.max_residue_magnitude <= 5 else 24
+        (_ty, _tx), (_, _ptx), _ntb, _ = _tile_config(_pty0)
+        if use_tile and x.shape[1] % _ty == 0 and x.shape[2] % _tx == 0 \
                 and x.shape[-1] // 2 in (64, 128):
             _ca = x.shape[-1] // 2
-            _align = 8 * (128 // _ca)
-            _n_tiles = x.shape[0] * (x.shape[1] // 2) * (x.shape[2] // 4)
-            use_tile = (x.shape[2] + 64) % _align == 0 and _n_tiles % 16 == 0
+            _xpack = 128 // _ca
+            _align = 8 * _xpack
+            _n_tiles = (x.shape[0] * (x.shape[1] // _ty)
+                        * (x.shape[2] // _tx))
+            use_tile = (
+                _ptx % (16 * _xpack) == 0
+                and (x.shape[2] + 2 * _ptx) % _align == 0
+                and _n_tiles % _ntb == 0
+            )
         else:
             use_tile = False
         if use_tile and self.dcn_impl == "auto" and not _TILE_NOTICE:
@@ -200,9 +227,10 @@ class SecondOrderDeformableAlignment(nn.Module):
                 axis=3,
             ).astype(jnp.float32)  # (B,H,W,2,2) in (dy,dx)
             pty = 16 if self.max_residue_magnitude <= 5 else 24
+            tile_t, patch_p, ntb_n, lane = _tile_config(pty)
             y = deform_conv2d_tile_ad(
                 x.astype(self.dtype), anchor, off, weight, bias,
-                mask is None, (2, 4), (pty, 32), 16, mask=mask,
+                mask is None, tile_t, patch_p, ntb_n, lane, mask=mask,
             )
             return y.astype(x.dtype)
         ps = self._patch_size()

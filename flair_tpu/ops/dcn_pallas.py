@@ -413,10 +413,10 @@ def tile_escape_fraction(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def deform_conv2d_tile_ad(
     x, anchor_flow, offset, weight, bias, mask_is_none,
-    tile, patch, ntb, mask=None,
+    tile, patch, ntb, lane_slice=False, mask=None,
 ):
     """Differentiable wrapper: Pallas tile kernel forward, XLA patch-path
     gradients (the backward re-runs ``deform_conv2d_patch``'s VJP, whose
@@ -424,18 +424,18 @@ def deform_conv2d_tile_ad(
     del mask_is_none
     return deform_conv2d_tile(
         x, anchor_flow, offset, weight, bias, mask=mask,
-        tile=tile, patch=patch, ntb=ntb)
+        tile=tile, patch=patch, ntb=ntb, lane_slice=lane_slice)
 
 
 def _tile_ad_fwd(x, anchor_flow, offset, weight, bias, mask_is_none,
-                 tile, patch, ntb, mask=None):
+                 tile, patch, ntb, lane_slice=False, mask=None):
     out = deform_conv2d_tile_ad(
         x, anchor_flow, offset, weight, bias, mask_is_none,
-        tile, patch, ntb, mask=mask)
+        tile, patch, ntb, lane_slice, mask=mask)
     return out, (x, anchor_flow, offset, weight, bias, mask)
 
 
-def _tile_ad_bwd(mask_is_none, tile, patch, ntb, res, g):
+def _tile_ad_bwd(mask_is_none, tile, patch, ntb, lane_slice, res, g):
     from .deform import deform_conv2d_patch
 
     x, anchor_flow, offset, weight, bias, mask = res

@@ -658,6 +658,12 @@ def install_reference_shims():
         _timm_module()
     if "guided_diffusion.dcn" not in sys.modules:
         _dcn_module()
+    # scipy>=1.13 removed scipy.signal.gaussian (imresize_pseudoSR.py:6)
+    import scipy.signal
+    import scipy.signal.windows
+
+    if not hasattr(scipy.signal, "gaussian"):
+        scipy.signal.gaussian = scipy.signal.windows.gaussian
     root = reference_root()
     if root not in sys.path:
         sys.path.insert(0, root)

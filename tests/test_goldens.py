@@ -84,3 +84,72 @@ def test_restore_video_matches_archived_reference_goldens():
     # generation-time float-vs-float agreement is recorded in meta.json
     assert p > 40.0, f"PSNR vs archived reference goldens: {p:.2f} dB"
     assert s > 0.99, f"SSIM vs archived reference goldens: {s:.4f}"
+
+
+GOLD_G = os.path.join(ROOT, "goldens", "gaussian_s64")
+
+
+@pytest.mark.slow
+def test_restore_video_matches_archived_gaussian_goldens():
+    """Same golden procedure for the BlurUNet + pseudoSR path (gaussian
+    task, LEARNED_RANGE variance, active γ-schedule with noise_level=2.55
+    ζ=1) — the first end-to-end archive of the ADM family."""
+    if not os.path.exists(os.path.join(GOLD_G, "meta.json")):
+        pytest.skip("gaussian goldens not generated (tools/make_goldens.py)")
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from metrics import load_frames, psnr, ssim
+
+    from flair_tpu.diffusion import GuidanceConfig, make_task_diffusion
+    from flair_tpu.models.adm import BlurUNet
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+    from flair_tpu.pipeline.wrappers import wrap_blur_model
+    from flair_tpu.utils.checkpoint import unflatten_params
+
+    meta = json.load(open(os.path.join(GOLD_G, "meta.json")))
+    size = meta["size"]
+    degraded01 = np.load(os.path.join(GOLD_G, "degraded01.npy"))
+    variables = unflatten_params(dict(np.load(os.path.join(GOLD_G, "params.npz"))))
+    ref_out = load_frames(GOLD_G)
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["gaussian"], output_size=size,
+        input_size=size // meta["factor"], steps=str(meta["steps"]),
+        w=meta["w"], rho=meta["rho"], zeta=meta["zeta"], tau=meta["tau"],
+        noise_level=meta["noise_level"],
+    )
+    d = make_task_diffusion(cfg.task, cfg.steps)
+    model = BlurUNet(
+        image_size=size, in_channels=6, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), rnn_resolutions=(1,),
+        channel_mult=(1, 2), num_heads=1, num_head_channels=8,
+        use_scale_shift_norm=True, resblock_updown=True, temporal_block=True,
+        temporal_frames=5,
+    )
+    model_apply = wrap_blur_model(d, model, variables)
+
+    normal_orig = jax.random.normal
+
+    def zeros_normal(key, shape=None, dtype=jnp.float32):
+        return jnp.zeros(shape if shape is not None else (), dtype)
+
+    jax.random.normal = zeros_normal
+    try:
+        ours = restore_video(
+            degraded01, cfg, model_apply, diffusion=d,
+            guidance=GuidanceConfig(
+                use_aux=False, w=meta["w"], rho=meta["rho"],
+                tau=meta["tau"], zeta=meta["zeta"],
+                noise_level=meta["noise_level"]),
+            win=meta["win"], overlap=meta["overlap"], pad_tail=False,
+        )
+    finally:
+        jax.random.normal = normal_orig
+
+    assert ours.shape == ref_out.shape
+    p = psnr(ours, ref_out)
+    s = ssim(ours, ref_out)
+    assert p > 40.0, f"PSNR vs archived gaussian goldens: {p:.2f} dB"
+    assert s > 0.99, f"SSIM vs archived gaussian goldens: {s:.4f}"

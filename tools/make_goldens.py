@@ -33,6 +33,12 @@ SIZE, FACTOR, T, WIN, OV, STEPS = 64, 8, 5, 3, 1, 4
 W, RHO, ZETA, TAU = 0.85, 0.0, -1, 0
 OUT_DIR = os.path.join(ROOT, "goldens", "x8_s64")
 
+# gaussian-task golden (BlurUNet + pseudoSR null-space consistency with the
+# demo's active γ-schedule: noise_level=2.55, ζ=1 — video_sample.py:499-520)
+G_SIZE, G_FACTOR, G_T, G_WIN, G_OV, G_STEPS = 64, 4, 5, 3, 1, 4
+G_W, G_RHO, G_ZETA, G_TAU, G_NL = 0.75, 0.25, 1.0, 0, 2.55
+G_OUT_DIR = os.path.join(ROOT, "goldens", "gaussian_s64")
+
 
 def build_reference_unet():
     import torch
@@ -186,6 +192,216 @@ def run_ours(variables, degraded01):
         jax.random.normal = normal_orig
 
 
+def build_reference_blur_unet():
+    import torch
+    from ref_shim import install_reference_shims
+
+    install_reference_shims()
+    torch.cuda.is_available = lambda: True
+    from guided_diffusion.unet_new import UNetModel as RefUNet
+
+    torch.manual_seed(0)
+    ref = RefUNet(
+        image_size=G_SIZE, in_channels=6, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), rnn_resolutions=(1,),
+        channel_mult=(1, 2), num_heads=1, num_head_channels=8,
+        use_scale_shift_norm=True, resblock_updown=True, temporal_block=True,
+    ).eval()
+    # the reference hardcodes emb_layers=Linear(512,512) in
+    # AttentionbottleBlock (unet_new.py:399), valid only at
+    # model_channels=128; re-size for the scaled config
+    ref.middle_block[2].emb_layers[1] = torch.nn.Linear(128, 64)
+    with torch.no_grad():
+        for _, p in ref.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.05)
+    return ref
+
+
+def run_reference_gaussian(ref, degraded01):
+    """The demo's gaussian-task windowed driver (video_sample.py:371-487)
+    against the reference's SpacedDiffusion + pseudoSR."""
+    import torch
+    import torch.nn.functional as F
+    import torchvision.transforms.functional as VF
+
+    from guided_diffusion import gaussian_diffusion as gd
+    from guided_diffusion import pseudoSR as ref_ps
+    from guided_diffusion import respace as rsp
+
+    from flair_tpu.operators.factory import load_blur_kernel
+    from flair_tpu.pipeline.video import window_slices
+
+    dcfg = dict(
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.RESCALED_MSE,
+        rescale_timesteps=False,
+    )
+    betas = gd.get_named_beta_schedule("face_blur", 1000)
+    ref_d = rsp.SpacedDiffusion(
+        use_timesteps=rsp.space_timesteps(1000, str(G_STEPS)), betas=betas,
+        **dcfg)
+
+    conf = ref_ps.Get_pseudoSR_Conf(G_FACTOR)
+    conf.sigmoid_range_limit = False
+    conf.input_range = np.array(None)
+    A = ref_ps.pseudoSR(
+        conf, upscale_kernel=load_blur_kernel(3), kernel_indx=10
+    ).WrapArchitecture_PyTorch()
+
+    dg = torch.from_numpy(degraded01.transpose(0, 3, 1, 2))[None]
+    randn_orig = torch.randn
+    randn_like_orig = torch.randn_like
+    torch.randn = lambda *a, **kw: torch.zeros(
+        *a, **{k_: v for k_, v in kw.items() if k_ != "generator"})
+    torch.randn_like = lambda x: torch.zeros_like(x)
+    try:
+        prev = None
+        rec = []
+        for idx, length in window_slices(G_T, G_WIN, G_OV):
+            sl = dg[:, idx: idx + length]
+            init = F.interpolate(
+                sl.squeeze(0), (G_SIZE, G_SIZE), mode="area"
+            ).clamp(0, 1)[None]
+            sl_pm = (sl - 0.5) / 0.5
+            init_pm = (init - 0.5) / 0.5
+            noise = ref_d.q_sample(
+                init_pm.reshape(length, 3, G_SIZE, G_SIZE),
+                torch.full((length,), ref_d.num_timesteps - 1,
+                           dtype=torch.long),
+            )
+            rnn = VF.normalize(
+                VF.resize(
+                    VF.normalize(
+                        sl_pm.reshape(length, 3, *sl_pm.shape[-2:]),
+                        0.5, 0.5),
+                    (G_SIZE, G_SIZE), VF.InterpolationMode.BICUBIC),
+                -1, 2,
+            ).view(1, length, 3, G_SIZE, G_SIZE).clamp(-1, 1)
+            mk = {"low_res_input": init_pm, "num_frames": length,
+                  "enable_cross_frames": True, "vsrpp_weights": 1.0,
+                  "rnn_input": rnn}
+            rfn = lambda x: A.A_pinv(  # noqa: E731
+                sl_pm.reshape(-1, 3, *sl_pm.shape[-2:]), x)
+            with torch.no_grad():
+                out = ref_d.sample(
+                    ref, noise, model_kwargs=mk, restore_fn=rfn,
+                    face_restore_helper=None,
+                    aux_model=lambda x0, t, xt: x0, post_fn=None,
+                    clip_denoised=True, sample_mode="ddpm", w=G_W, tau=G_TAU,
+                    rho=G_RHO, noise_level=G_NL, prev_recon=prev,
+                    zeta=G_ZETA, t_start=-1, aligned=True,
+                )
+            out = out.reshape(1, length, 3, G_SIZE, G_SIZE)
+            if prev is not None:
+                out = out[:, G_OV:]
+            prev = out[:, -G_OV:].clone()
+            rec.append(((out.clamp(-1, 1) + 1) / 2).numpy())
+        return np.concatenate(rec, 1)[0].transpose(0, 2, 3, 1)
+    finally:
+        torch.randn = randn_orig
+        torch.randn_like = randn_like_orig
+
+
+def run_ours_gaussian(variables, degraded01):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from flair_tpu.diffusion import GuidanceConfig, make_task_diffusion
+    from flair_tpu.models.adm import BlurUNet
+    from flair_tpu.pipeline.video import TASK_CONFIGS, restore_video
+    from flair_tpu.pipeline.wrappers import wrap_blur_model
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["gaussian"], output_size=G_SIZE,
+        input_size=G_SIZE // G_FACTOR, steps=str(G_STEPS),
+        w=G_W, rho=G_RHO, zeta=G_ZETA, tau=G_TAU, noise_level=G_NL,
+    )
+    d = make_task_diffusion(cfg.task, cfg.steps)
+    model = BlurUNet(
+        image_size=G_SIZE, in_channels=6, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), rnn_resolutions=(1,),
+        channel_mult=(1, 2), num_heads=1, num_head_channels=8,
+        use_scale_shift_norm=True, resblock_updown=True, temporal_block=True,
+        temporal_frames=5,
+    )
+    model_apply = wrap_blur_model(d, model, variables)
+
+    normal_orig = jax.random.normal
+
+    def zeros_normal(key, shape=None, dtype=jnp.float32):
+        return jnp.zeros(shape if shape is not None else (), dtype)
+
+    jax.random.normal = zeros_normal
+    try:
+        return restore_video(
+            degraded01, cfg, model_apply, diffusion=d,
+            guidance=GuidanceConfig(
+                use_aux=False, w=G_W, rho=G_RHO, tau=G_TAU, zeta=G_ZETA,
+                noise_level=G_NL),
+            win=G_WIN, overlap=G_OV, pad_tail=False,
+        )
+    finally:
+        jax.random.normal = normal_orig
+
+
+def make_gaussian_golden(check: bool) -> dict:
+    import cv2
+    import torch
+
+    from flair_tpu.utils.checkpoint import flatten_params
+    from flair_tpu.utils.convert import convert_blur_unet
+
+    ref = build_reference_blur_unet()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_blur_unet(
+        state, channel_mult=(1, 2), num_res_blocks=1,
+        attention_ds=(2,), rnn_ds=(1,),
+    )
+    rs = np.random.RandomState(0)
+    degraded01 = rs.rand(
+        G_T, G_SIZE // G_FACTOR, G_SIZE // G_FACTOR, 3).astype(np.float32)
+
+    print("# running reference gaussian driver...", file=sys.stderr)
+    ref_out = run_reference_gaussian(ref, degraded01)
+
+    os.makedirs(G_OUT_DIR, exist_ok=True)
+    for i, f in enumerate(ref_out):
+        cv2.imwrite(
+            os.path.join(G_OUT_DIR, f"ref_{i:03d}.png"),
+            cv2.cvtColor((np.clip(f, 0, 1) * 255).round().astype(np.uint8),
+                         cv2.COLOR_RGB2BGR),
+        )
+    np.save(os.path.join(G_OUT_DIR, "degraded01.npy"), degraded01)
+    np.savez(os.path.join(G_OUT_DIR, "params.npz"),
+             **flatten_params(variables))
+    meta = {
+        "size": G_SIZE, "factor": G_FACTOR, "frames": G_T, "win": G_WIN,
+        "overlap": G_OV, "steps": G_STEPS,
+        "w": G_W, "rho": G_RHO, "zeta": G_ZETA, "tau": G_TAU,
+        "noise_level": G_NL,
+        "model": "unet_new.UNetModel mc=32 cm=(1,2) attn=(2,) rnn=(1,) tf=5",
+        "seed": 0,
+        "procedure": "BASELINE.md:20-23 reduced-step CPU golden (gaussian)",
+    }
+    if check:
+        print("# running our gaussian pipeline...", file=sys.stderr)
+        ours = run_ours_gaussian(variables, degraded01)
+        from metrics import psnr, ssim
+
+        meta["psnr_vs_ref_float"] = round(psnr(ours, ref_out), 3)
+        meta["ssim_vs_ref_float"] = round(float(ssim(ours, ref_out)), 5)
+        print(json.dumps({k: meta[k] for k in
+                          ("psnr_vs_ref_float", "ssim_vs_ref_float")}))
+    with open(os.path.join(G_OUT_DIR, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote {G_OUT_DIR}", file=sys.stderr)
+    return meta
+
+
 def main() -> int:
     check = "--check" in sys.argv
 
@@ -196,6 +412,15 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    task = "all"
+    for a in sys.argv[1:]:
+        if a.startswith("--task="):
+            task = a.split("=", 1)[1]
+    if task in ("gaussian", "all"):
+        make_gaussian_golden(check)
+    if task not in ("x8", "all"):
+        return 0
 
     ref = build_reference_unet()
     state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
