@@ -86,16 +86,16 @@ def test_restore_video_matches_archived_reference_goldens():
     assert s > 0.99, f"SSIM vs archived reference goldens: {s:.4f}"
 
 
-GOLD_G = os.path.join(ROOT, "goldens", "gaussian_s64")
-
-
 @pytest.mark.slow
-def test_restore_video_matches_archived_gaussian_goldens():
+@pytest.mark.parametrize("gold_name", ["gaussian_s64", "jpeg_s64"])
+def test_restore_video_matches_archived_blur_goldens(gold_name):
     """Same golden procedure for the BlurUNet + pseudoSR path (gaussian
-    task, LEARNED_RANGE variance, active γ-schedule with noise_level=2.55
-    ζ=1) — the first end-to-end archive of the ADM family."""
+    task, LEARNED_RANGE variance, active γ-schedule with noise_level
+    ζ=1; jpeg adds the differentiable JPEG round-trip inside the
+    consistency op) — end-to-end archives of the ADM family."""
+    GOLD_G = os.path.join(ROOT, "goldens", gold_name)
     if not os.path.exists(os.path.join(GOLD_G, "meta.json")):
-        pytest.skip("gaussian goldens not generated (tools/make_goldens.py)")
+        pytest.skip(f"{gold_name} goldens not generated (tools/make_goldens.py)")
     import dataclasses
     import sys
 
@@ -115,10 +115,10 @@ def test_restore_video_matches_archived_gaussian_goldens():
     ref_out = load_frames(GOLD_G)
 
     cfg = dataclasses.replace(
-        TASK_CONFIGS["gaussian"], output_size=size,
+        TASK_CONFIGS[meta.get("task", "gaussian")], output_size=size,
         input_size=size // meta["factor"], steps=str(meta["steps"]),
         w=meta["w"], rho=meta["rho"], zeta=meta["zeta"], tau=meta["tau"],
-        noise_level=meta["noise_level"],
+        noise_level=meta["noise_level"], jpeg_qf=meta.get("jpeg_qf", -1),
     )
     d = make_task_diffusion(cfg.task, cfg.steps)
     model = BlurUNet(

@@ -38,6 +38,10 @@ OUT_DIR = os.path.join(ROOT, "goldens", "x8_s64")
 G_SIZE, G_FACTOR, G_T, G_WIN, G_OV, G_STEPS = 64, 4, 5, 3, 1, 4
 G_W, G_RHO, G_ZETA, G_TAU, G_NL = 0.75, 0.25, 1.0, 0, 2.55
 G_OUT_DIR = os.path.join(ROOT, "goldens", "gaussian_s64")
+# jpeg task adds the differentiable JPEG round-trip inside the consistency
+# op (demo: w=.5 rho=.5 sigma=12.75 zeta=1 qf=60, video_sample.py:543-556)
+J_W, J_RHO, J_NL, J_QF = 0.5, 0.5, 12.75, 60
+J_OUT_DIR = os.path.join(ROOT, "goldens", "jpeg_s64")
 
 
 def build_reference_unet():
@@ -218,7 +222,8 @@ def build_reference_blur_unet():
     return ref
 
 
-def run_reference_gaussian(ref, degraded01):
+def run_reference_gaussian(ref, degraded01, *, w=G_W, rho=G_RHO,
+                           noise_level=G_NL, jpeg_qf=-1):
     """The demo's gaussian-task windowed driver (video_sample.py:371-487)
     against the reference's SpacedDiffusion + pseudoSR."""
     import torch
@@ -242,6 +247,9 @@ def run_reference_gaussian(ref, degraded01):
     ref_d = rsp.SpacedDiffusion(
         use_timesteps=rsp.space_timesteps(1000, str(G_STEPS)), betas=betas,
         **dcfg)
+
+    if jpeg_qf != -1:
+        from guided_diffusion.jpeg import jpeg_decode, jpeg_encode
 
     conf = ref_ps.Get_pseudoSR_Conf(G_FACTOR)
     conf.sigmoid_range_limit = False
@@ -283,14 +291,18 @@ def run_reference_gaussian(ref, degraded01):
                   "enable_cross_frames": True, "vsrpp_weights": 1.0,
                   "rnn_input": rnn}
             rfn = lambda x: A.A_pinv(  # noqa: E731
-                sl_pm.reshape(-1, 3, *sl_pm.shape[-2:]), x)
+                sl_pm.reshape(-1, 3, *sl_pm.shape[-2:]), x,
+                jpeg_encode=(lambda im: jpeg_encode(im, jpeg_qf))
+                if jpeg_qf != -1 else None,
+                jpeg_decode=(lambda im: jpeg_decode(im, jpeg_qf))
+                if jpeg_qf != -1 else None)
             with torch.no_grad():
                 out = ref_d.sample(
                     ref, noise, model_kwargs=mk, restore_fn=rfn,
                     face_restore_helper=None,
                     aux_model=lambda x0, t, xt: x0, post_fn=None,
-                    clip_denoised=True, sample_mode="ddpm", w=G_W, tau=G_TAU,
-                    rho=G_RHO, noise_level=G_NL, prev_recon=prev,
+                    clip_denoised=True, sample_mode="ddpm", w=w, tau=G_TAU,
+                    rho=rho, noise_level=noise_level, prev_recon=prev,
                     zeta=G_ZETA, t_start=-1, aligned=True,
                 )
             out = out.reshape(1, length, 3, G_SIZE, G_SIZE)
@@ -304,7 +316,8 @@ def run_reference_gaussian(ref, degraded01):
         torch.randn_like = randn_like_orig
 
 
-def run_ours_gaussian(variables, degraded01):
+def run_ours_gaussian(variables, degraded01, *, task="gaussian", w=G_W,
+                      rho=G_RHO, noise_level=G_NL, jpeg_qf=-1):
     import dataclasses
 
     import jax
@@ -316,9 +329,10 @@ def run_ours_gaussian(variables, degraded01):
     from flair_tpu.pipeline.wrappers import wrap_blur_model
 
     cfg = dataclasses.replace(
-        TASK_CONFIGS["gaussian"], output_size=G_SIZE,
+        TASK_CONFIGS[task], output_size=G_SIZE,
         input_size=G_SIZE // G_FACTOR, steps=str(G_STEPS),
-        w=G_W, rho=G_RHO, zeta=G_ZETA, tau=G_TAU, noise_level=G_NL,
+        w=w, rho=rho, zeta=G_ZETA, tau=G_TAU, noise_level=noise_level,
+        jpeg_qf=jpeg_qf,
     )
     d = make_task_diffusion(cfg.task, cfg.steps)
     model = BlurUNet(
@@ -340,15 +354,15 @@ def run_ours_gaussian(variables, degraded01):
         return restore_video(
             degraded01, cfg, model_apply, diffusion=d,
             guidance=GuidanceConfig(
-                use_aux=False, w=G_W, rho=G_RHO, tau=G_TAU, zeta=G_ZETA,
-                noise_level=G_NL),
+                use_aux=False, w=w, rho=rho, tau=G_TAU, zeta=G_ZETA,
+                noise_level=noise_level),
             win=G_WIN, overlap=G_OV, pad_tail=False,
         )
     finally:
         jax.random.normal = normal_orig
 
 
-def make_gaussian_golden(check: bool) -> dict:
+def make_gaussian_golden(check: bool, *, jpeg: bool = False) -> dict:
     import cv2
     import torch
 
@@ -361,44 +375,51 @@ def make_gaussian_golden(check: bool) -> dict:
         state, channel_mult=(1, 2), num_res_blocks=1,
         attention_ds=(2,), rnn_ds=(1,),
     )
+    task = "jpeg" if jpeg else "gaussian"
+    w, rho, nl, qf = ((J_W, J_RHO, J_NL, J_QF) if jpeg
+                      else (G_W, G_RHO, G_NL, -1))
+    out_dir = J_OUT_DIR if jpeg else G_OUT_DIR
     rs = np.random.RandomState(0)
     degraded01 = rs.rand(
         G_T, G_SIZE // G_FACTOR, G_SIZE // G_FACTOR, 3).astype(np.float32)
 
-    print("# running reference gaussian driver...", file=sys.stderr)
-    ref_out = run_reference_gaussian(ref, degraded01)
+    print(f"# running reference {task} driver...", file=sys.stderr)
+    ref_out = run_reference_gaussian(ref, degraded01, w=w, rho=rho,
+                                     noise_level=nl, jpeg_qf=qf)
 
-    os.makedirs(G_OUT_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     for i, f in enumerate(ref_out):
         cv2.imwrite(
-            os.path.join(G_OUT_DIR, f"ref_{i:03d}.png"),
+            os.path.join(out_dir, f"ref_{i:03d}.png"),
             cv2.cvtColor((np.clip(f, 0, 1) * 255).round().astype(np.uint8),
                          cv2.COLOR_RGB2BGR),
         )
-    np.save(os.path.join(G_OUT_DIR, "degraded01.npy"), degraded01)
-    np.savez(os.path.join(G_OUT_DIR, "params.npz"),
+    np.save(os.path.join(out_dir, "degraded01.npy"), degraded01)
+    np.savez(os.path.join(out_dir, "params.npz"),
              **flatten_params(variables))
     meta = {
+        "task": task,
         "size": G_SIZE, "factor": G_FACTOR, "frames": G_T, "win": G_WIN,
         "overlap": G_OV, "steps": G_STEPS,
-        "w": G_W, "rho": G_RHO, "zeta": G_ZETA, "tau": G_TAU,
-        "noise_level": G_NL,
+        "w": w, "rho": rho, "zeta": G_ZETA, "tau": G_TAU,
+        "noise_level": nl, "jpeg_qf": qf,
         "model": "unet_new.UNetModel mc=32 cm=(1,2) attn=(2,) rnn=(1,) tf=5",
         "seed": 0,
-        "procedure": "BASELINE.md:20-23 reduced-step CPU golden (gaussian)",
+        "procedure": f"BASELINE.md:20-23 reduced-step CPU golden ({task})",
     }
     if check:
-        print("# running our gaussian pipeline...", file=sys.stderr)
-        ours = run_ours_gaussian(variables, degraded01)
+        print(f"# running our {task} pipeline...", file=sys.stderr)
+        ours = run_ours_gaussian(variables, degraded01, task=task, w=w,
+                                 rho=rho, noise_level=nl, jpeg_qf=qf)
         from metrics import psnr, ssim
 
         meta["psnr_vs_ref_float"] = round(psnr(ours, ref_out), 3)
         meta["ssim_vs_ref_float"] = round(float(ssim(ours, ref_out)), 5)
         print(json.dumps({k: meta[k] for k in
                           ("psnr_vs_ref_float", "ssim_vs_ref_float")}))
-    with open(os.path.join(G_OUT_DIR, "meta.json"), "w") as f:
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
-    print(f"wrote {G_OUT_DIR}", file=sys.stderr)
+    print(f"wrote {out_dir}", file=sys.stderr)
     return meta
 
 
@@ -419,6 +440,8 @@ def main() -> int:
             task = a.split("=", 1)[1]
     if task in ("gaussian", "all"):
         make_gaussian_golden(check)
+    if task in ("jpeg", "all"):
+        make_gaussian_golden(check, jpeg=True)
     if task not in ("x8", "all"):
         return 0
 
