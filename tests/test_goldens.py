@@ -19,13 +19,14 @@ import jax
 import jax.numpy as jnp
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GOLD = os.path.join(ROOT, "goldens", "x8_s64")
 
 
 @pytest.mark.slow
-def test_restore_video_matches_archived_reference_goldens():
+@pytest.mark.parametrize("gold_name", ["x8_s64", "x16_s64"])
+def test_restore_video_matches_archived_reference_goldens(gold_name):
+    GOLD = os.path.join(ROOT, "goldens", gold_name)
     if not os.path.exists(os.path.join(GOLD, "meta.json")):
-        pytest.skip("goldens not generated (tools/make_goldens.py)")
+        pytest.skip(f"{gold_name} goldens not generated (tools/make_goldens.py)")
     import dataclasses
     import sys
 
@@ -46,7 +47,7 @@ def test_restore_video_matches_archived_reference_goldens():
     ref_out = load_frames(GOLD)
 
     cfg = dataclasses.replace(
-        TASK_CONFIGS["x8_bicubic"], output_size=size,
+        TASK_CONFIGS[meta.get("task", "x8_bicubic")], output_size=size,
         input_size=size // meta["factor"], steps=str(steps),
         w=meta["w"], rho=meta["rho"], zeta=meta["zeta"], tau=meta["tau"],
         noise_level=0.0, vsrpp_bg_weight=0.0,

@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SIZE, FACTOR, T, WIN, OV, STEPS = 64, 8, 5, 3, 1, 4
 W, RHO, ZETA, TAU = 0.85, 0.0, -1, 0
 OUT_DIR = os.path.join(ROOT, "goldens", "x8_s64")
+# x16 variant: same SRConv family at stride 16 (demo w=.7 rho=.85,
+# video_sample.py:521-532); rho forced 0 for determinism like x8
+X16_W = 0.7
 
 # gaussian-task golden (BlurUNet + pseudoSR null-space consistency with the
 # demo's active γ-schedule: noise_level=2.55, ζ=1 — video_sample.py:499-520)
@@ -67,7 +70,7 @@ def build_reference_unet():
     return ref
 
 
-def run_reference(ref, degraded01):
+def run_reference(ref, degraded01, *, factor=FACTOR, w=W):
     """Faithful replication of the demo windowed driver over the reference's
     SpacedDiffusion.sample (the same replication the slow agreement test
     validates against restore_video, tests/test_convert_parity.py:260)."""
@@ -99,13 +102,13 @@ def run_reference(ref, degraded01):
                     + 8 * a * abs(x) - 4 * a)
         return 0
 
-    k = np.zeros(FACTOR * 4)
-    for i in range(FACTOR * 4):
+    k = np.zeros(factor * 4)
+    for i in range(factor * 4):
         k[i] = bicubic_kernel(
-            (1 / FACTOR) * (i - np.floor(FACTOR * 4 / 2) + 0.5))
+            (1 / factor) * (i - np.floor(factor * 4 / 2) + 0.5))
     k = k / k.sum()
     A = ru.SRConv(torch.from_numpy(k).float(), 3, SIZE,
-                  torch.device("cpu"), stride=FACTOR)
+                  torch.device("cpu"), stride=factor)
 
     dg = torch.from_numpy(degraded01.transpose(0, 3, 1, 2))[None]
     randn_orig, has_rl = torch.randn, hasattr(torch, "randn_like")
@@ -138,7 +141,7 @@ def run_reference(ref, degraded01):
                     ref, noise, model_kwargs=mk, restore_fn=rfn,
                     face_restore_helper=None,
                     aux_model=lambda x0, t, xt: x0, post_fn=None,
-                    clip_denoised=True, sample_mode="ddpm", w=W, tau=TAU,
+                    clip_denoised=True, sample_mode="ddpm", w=w, tau=TAU,
                     rho=RHO, noise_level=0.0, prev_recon=prev, zeta=ZETA,
                     t_start=-1, aligned=True,
                 )
@@ -154,7 +157,8 @@ def run_reference(ref, degraded01):
             torch.randn_like = randn_like_orig
 
 
-def run_ours(variables, degraded01):
+def run_ours(variables, degraded01, *, task="x8_bicubic",
+             factor=FACTOR, w=W):
     import dataclasses
 
     import jax
@@ -166,8 +170,8 @@ def run_ours(variables, degraded01):
     from flair_tpu.pipeline.wrappers import wrap_bicubic_model
 
     cfg = dataclasses.replace(
-        TASK_CONFIGS["x8_bicubic"], output_size=SIZE, input_size=SIZE // 8,
-        steps=str(STEPS), w=W, rho=RHO, zeta=ZETA, tau=TAU, noise_level=0.0,
+        TASK_CONFIGS[task], output_size=SIZE, input_size=SIZE // factor,
+        steps=str(STEPS), w=w, rho=RHO, zeta=ZETA, tau=TAU, noise_level=0.0,
         vsrpp_bg_weight=0.0,
     )
     d = make_task_diffusion(cfg.task, cfg.steps)
@@ -442,7 +446,7 @@ def main() -> int:
         make_gaussian_golden(check)
     if task in ("jpeg", "all"):
         make_gaussian_golden(check, jpeg=True)
-    if task not in ("x8", "all"):
+    if task not in ("x8", "x16", "all"):
         return 0
 
     ref = build_reference_unet()
@@ -454,47 +458,59 @@ def main() -> int:
     variables = convert_bicubic_unet(state, channel_mults=(1, 2),
                                      res_blocks=1)
 
-    rs = np.random.RandomState(0)
-    degraded01 = rs.rand(T, SIZE // FACTOR, SIZE // FACTOR, 3).astype(
-        np.float32)
+    variants = []
+    if task in ("x8", "all"):
+        variants.append(("x8_bicubic", 8, W, OUT_DIR))
+    if task in ("x16", "all"):
+        variants.append(("x16_bicubic", 16, X16_W,
+                         os.path.join(ROOT, "goldens", "x16_s64")))
 
-    print("# running reference driver...", file=sys.stderr)
-    ref_out = run_reference(ref, degraded01)
-
-    os.makedirs(OUT_DIR, exist_ok=True)
     import cv2
 
-    for i, f in enumerate(ref_out):
-        cv2.imwrite(
-            os.path.join(OUT_DIR, f"ref_{i:03d}.png"),
-            cv2.cvtColor((np.clip(f, 0, 1) * 255).round().astype(np.uint8),
-                         cv2.COLOR_RGB2BGR),
-        )
-    np.save(os.path.join(OUT_DIR, "degraded01.npy"), degraded01)
-    np.savez(os.path.join(OUT_DIR, "params.npz"),
-             **flatten_params(variables))
-    meta = {
-        "size": SIZE, "factor": FACTOR, "frames": T, "win": WIN,
-        "overlap": OV, "steps": STEPS,
-        "w": W, "rho": RHO, "zeta": ZETA, "tau": TAU,
-        "model": "sr3.UNet ic=32 cm=(1,2) attn=(32,) vsrpp=(64,) nf=3 hd=8",
-        "seed": 0,
-        "procedure": "BASELINE.md:20-23 reduced-step CPU golden",
-    }
+    for vtask, factor, w, out_dir in variants:
+        rs = np.random.RandomState(0)
+        degraded01 = rs.rand(T, SIZE // factor, SIZE // factor, 3).astype(
+            np.float32)
 
-    if check:
-        print("# running our pipeline...", file=sys.stderr)
-        ours = run_ours(variables, degraded01)
-        from metrics import psnr, ssim
+        print(f"# running reference driver ({vtask})...", file=sys.stderr)
+        ref_out = run_reference(ref, degraded01, factor=factor, w=w)
 
-        meta["psnr_vs_ref_float"] = round(psnr(ours, ref_out), 3)
-        meta["ssim_vs_ref_float"] = round(float(ssim(ours, ref_out)), 5)
-        print(json.dumps({k: meta[k] for k in
-                          ("psnr_vs_ref_float", "ssim_vs_ref_float")}))
+        os.makedirs(out_dir, exist_ok=True)
+        for i, f in enumerate(ref_out):
+            cv2.imwrite(
+                os.path.join(out_dir, f"ref_{i:03d}.png"),
+                cv2.cvtColor(
+                    (np.clip(f, 0, 1) * 255).round().astype(np.uint8),
+                    cv2.COLOR_RGB2BGR),
+            )
+        np.save(os.path.join(out_dir, "degraded01.npy"), degraded01)
+        np.savez(os.path.join(out_dir, "params.npz"),
+                 **flatten_params(variables))
+        meta = {
+            "task": vtask,
+            "size": SIZE, "factor": factor, "frames": T, "win": WIN,
+            "overlap": OV, "steps": STEPS,
+            "w": w, "rho": RHO, "zeta": ZETA, "tau": TAU,
+            "model": ("sr3.UNet ic=32 cm=(1,2) attn=(32,) vsrpp=(64,) "
+                      "nf=3 hd=8"),
+            "seed": 0,
+            "procedure": "BASELINE.md:20-23 reduced-step CPU golden",
+        }
 
-    with open(os.path.join(OUT_DIR, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    print(f"wrote {OUT_DIR}", file=sys.stderr)
+        if check:
+            print(f"# running our pipeline ({vtask})...", file=sys.stderr)
+            ours = run_ours(variables, degraded01, task=vtask,
+                            factor=factor, w=w)
+            from metrics import psnr, ssim
+
+            meta["psnr_vs_ref_float"] = round(psnr(ours, ref_out), 3)
+            meta["ssim_vs_ref_float"] = round(float(ssim(ours, ref_out)), 5)
+            print(json.dumps({k: meta[k] for k in
+                              ("psnr_vs_ref_float", "ssim_vs_ref_float")}))
+
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        print(f"wrote {out_dir}", file=sys.stderr)
     return 0
 
 
