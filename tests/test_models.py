@@ -182,3 +182,28 @@ def test_hoisted_flows_match_inline_blur():
     assert set(flows) == {32}
     out_hoisted = model.apply(params, x, ts, lr, flows=flows)
     np.testing.assert_array_equal(np.asarray(out_inline), np.asarray(out_hoisted))
+
+
+def test_tile_gate_falls_back_on_unaligned_resolutions():
+    """dcn_impl='tile' at a resolution violating the Pallas kernel's
+    packed-operand alignment ((w+2·ptx) % (8·xpack) != 0) must fall back to
+    the patch path instead of a trace-time kernel AssertionError
+    (ADVICE r2 medium)."""
+    import numpy as np
+
+    from flair_tpu.models.vsrpp import SecondOrderDeformableAlignment
+
+    c = 128
+    # w=20: (20+64) % 16 = 4 → tile kernel ineligible for cin=128 (xpack=2)
+    b, h, w = 1, 20, 20
+    m = SecondOrderDeformableAlignment(
+        c, deform_groups=16, max_residue_magnitude=5.0, dcn_impl="tile")
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(b, h, w, c), jnp.float32)
+    extra = jnp.asarray(rs.rand(b, h, w, 2 * c + 4), jnp.float32)
+    f1 = jnp.asarray(rs.rand(b, h, w, 2), jnp.float32)
+    f2 = jnp.asarray(rs.rand(b, h, w, 2), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x, extra, f1, f2)
+    out = m.apply(params, x, extra, f1, f2)
+    assert out.shape == (b, h, w, c)
+    assert np.isfinite(np.asarray(out)).all()
