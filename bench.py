@@ -101,6 +101,21 @@ def _time_step(compiled, args, iters, overhead_ms):
     return max(min(ts) - overhead_ms / 1e3, 1e-4)
 
 
+def _dcn_kwargs():
+    """BENCH_DCN=auto|tile|patch|exact selects the deformable-conv path
+    (VERDICT r2 #4: time the --exact-dcn fallback): 'exact' is the
+    per-sample gather (dcn_patch_size=None), 'patch' forces the XLA
+    patch-gather, 'tile' forces the Pallas kernel; default 'auto'."""
+    mode = os.environ.get("BENCH_DCN", "auto")
+    if mode == "exact":
+        return {"dcn_patch_size": None, "dcn_impl": "patch"}
+    if mode == "patch":
+        return {"dcn_impl": "patch"}
+    if mode == "tile":
+        return {"dcn_impl": "tile"}
+    return {}
+
+
 def _rand_params(shapes, seed=3, scale=0.02):
     import jax
     import jax.numpy as jnp
@@ -146,6 +161,7 @@ def _bicubic_step(size, frames, use_face, batch=1):
         vsrpp_res=(int(512 * scale), int(256 * scale)), image_size=size,
         res_blocks=1, num_frames=7, head_dim=64, temporal_attn=True,
         cross_frame_module=True, dtype=jnp.bfloat16,
+        **_dcn_kwargs(),
     )
     d = make_task_diffusion("x8_bicubic", "100")
     d_ddim = make_task_diffusion("x8_bicubic", f"ddim{SERVING_STEPS}")
@@ -270,6 +286,7 @@ def _blur_step(size, frames):
         temporal_frames=5,
         num_head_channels=64,
         dtype=jnp.bfloat16,
+        **_dcn_kwargs(),
     )
     d = make_task_diffusion("gaussian", "100")
     cfg = GuidanceConfig(use_aux=False, rho=0.25, w=0.75, zeta=1.0,
