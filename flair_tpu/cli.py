@@ -186,6 +186,12 @@ def main(argv=None) -> int:
     for task in ("x8_bicubic", "x16_bicubic", "gaussian", "jpeg"):
         sp = sub.add_parser(task)
         sp.add_argument("--input-dir", default=f"/root/reference/data/{task}")
+        sp.add_argument("--input-dirs", default=None,
+                        help="comma-separated clip dirs restored BATCHED "
+                             "through one compiled program pair (serving "
+                             "throughput; clips must share frame count and "
+                             "resolution). Outputs go to "
+                             "<output-dir>/<clip-name>/")
         sp.add_argument("--output-dir", default=f"./results/{task}")
         sp.add_argument("--checkpoint", default=None)
         sp.add_argument("--steps", default=None)
@@ -259,9 +265,21 @@ def main(argv=None) -> int:
         overrides["t_start"] = args.t_start
     cfg = dataclasses.replace(cfg, **overrides)
 
-    frames = load_frames(args.input_dir)
-    if args.frames:
-        frames = frames[: args.frames]
+    clip_names = None
+    if args.input_dirs:
+        dirs = [s.strip() for s in args.input_dirs.split(",") if s.strip()]
+        clip_names = [Path(s).name or f"clip{i}" for i, s in enumerate(dirs)]
+        clips = [load_frames(s) for s in dirs]
+        if args.frames:
+            clips = [c[: args.frames] for c in clips]
+        shapes = {c.shape for c in clips}
+        if len(shapes) != 1:
+            p.error(f"--input-dirs clips differ in shape: {sorted(shapes)}")
+        frames = np.stack(clips)  # (B, T, h, w, 3)
+    else:
+        frames = load_frames(args.input_dir)
+        if args.frames:
+            frames = frames[: args.frames]
 
     d = make_task_diffusion(cfg.task, cfg.steps)
     if args.tau is None and d.num_timesteps != 100:
@@ -293,8 +311,14 @@ def main(argv=None) -> int:
         win=args.window, overlap=args.overlap,
         sampler=args.sampler, eta=args.eta,
     )
-    save_frames(out, args.output_dir)
-    print(f"wrote {out.shape[0]} frames to {args.output_dir}")
+    if clip_names is not None:
+        for name, clip in zip(clip_names, out):
+            save_frames(clip, os.path.join(args.output_dir, name))
+        print(f"wrote {out.shape[0]} clips x {out.shape[1]} frames to "
+              f"{args.output_dir}")
+    else:
+        save_frames(out, args.output_dir)
+        print(f"wrote {out.shape[0]} frames to {args.output_dir}")
     return 0
 
 
