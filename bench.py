@@ -36,9 +36,13 @@ inputs are RANDOM (zero flows would give every deformable-conv patch
 anchor degenerate HBM locality that real flows don't have).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
-driver-pinned target is ≥5× an A100's frames/sec. We report value / 0.1
-where 0.1 fps/chip is the class estimate for a 100-step 512² guided window
-on a single A100 (unmeasured; field kept for cross-round tracking).
+driver-pinned target is ≥5× an A100's frames/sec. The class estimate is
+0.1 fps/chip for a *100-step* 512² guided window on a single A100
+(unmeasured; kept for cross-round tracking). Respacing is equally
+available to the reference, so the denominator scales with the serving
+schedule: vs_baseline = value / (0.1 · 100 / SERVING_STEPS) — the ratio
+compares equal-step-count configs and cannot be inflated by schedule
+choice alone.
 
 Roofline context (VERDICT r2 #9): ``ideal_step_ms`` = step FLOPs at the
 chip's peak bf16 rate; ``floor_step_ms`` = PERF.md's gather-bound cost
@@ -72,6 +76,27 @@ _LAST = os.path.join(_HERE, ".bench_last.json")
 FORMULATION_FLOOR_MS = 5500.0
 
 SERVING_STEPS = int(os.environ.get("BENCH_NSTEPS", "25"))
+
+
+def _bench_config() -> dict:
+    """The env knobs that change what a record MEASURES. Saved with every
+    record; a stale fallback is only valid if they match (a blur_exact
+    probe run must not become the next default run's headline)."""
+    return {
+        "size": int(os.environ.get("BENCH_SIZE", "512")),
+        "frames": int(os.environ.get("BENCH_FRAMES", "10")),
+        "nsteps": SERVING_STEPS,
+        "dcn": os.environ.get("BENCH_DCN", "auto"),
+        "batch": int(os.environ.get("BENCH_BATCH", "2")),
+        "platform": os.environ.get("JAX_PLATFORMS", "axon"),
+    }
+
+
+def _is_backend_err(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return any(k in s for k in (
+        "UNAVAILABLE", "Unable to initialize backend", "DEADLINE_EXCEEDED",
+        "Socket closed", "failed to connect", "Connection reset"))
 
 
 def _readback_overhead_ms() -> float:
@@ -364,6 +389,22 @@ def _child_main() -> int:
         return 42
     print(f"# readback overhead: {overhead:.1f} ms", file=sys.stderr)
 
+    # the tunnel can also die AFTER the probe, mid-compile or mid-timing —
+    # that must be retriable too (VERDICT r2 #5: round 2 lost its number to
+    # exactly one such rc=1)
+    try:
+        return _child_measure(size, frames, iters, overhead)
+    except Exception as e:  # noqa: BLE001
+        if _is_backend_err(e):
+            print(f"# backend died mid-run: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return 42
+        raise
+
+
+def _child_measure(size, frames, iters, overhead) -> int:
+    import jax
+
     # --- primary: BicubicUNet x8 step, DDIM-25 serving config -------------
     make_step, flops_fn = _bicubic_step(size, frames, use_face=False)
     fn, args = make_step("ddim")
@@ -389,6 +430,8 @@ def _child_main() -> int:
         extras["per_step_ms_ddpm"] = round(tddpm * 1e3, 2)
         extras["fps_ddpm100"] = round(frames / (tddpm * 100), 4)
     except Exception as e:  # noqa: BLE001
+        if _is_backend_err(e):
+            raise
         extras["per_step_ms_ddpm"] = None
         print(f"# ddpm step failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -410,6 +453,8 @@ def _child_main() -> int:
             extras[f"fps_batch{nb}"] = round(
                 nb * frames / (tb * SERVING_STEPS), 4)
         except Exception as e:  # noqa: BLE001
+            if _is_backend_err(e):
+                raise
             extras[f"per_step_ms_b{nb}"] = None
             print(f"# batch{nb} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -425,11 +470,14 @@ def _child_main() -> int:
             tface = _time_step(f2, a2, max(2, iters // 2), overhead)
             extras["per_step_ms_face"] = round(tface * 1e3, 2)
             # production x8 serving runs the face prior for t ∈ [τ=1,
-            # t_start=24] → 24 of 25 steps use the face-window program
-            blended = (24 * tface + 1 * per_step) / SERVING_STEPS
+            # t_start=steps−1] → all but one step uses the face program
+            nface = SERVING_STEPS - 1
+            blended = (nface * tface + 1 * per_step) / SERVING_STEPS
             extras["value_face"] = round(
                 frames / (blended * SERVING_STEPS), 4)
         except Exception as e:  # noqa: BLE001
+            if _is_backend_err(e):
+                raise
             extras["per_step_ms_face"] = None
             print(f"# face step failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -444,6 +492,8 @@ def _child_main() -> int:
             extras["per_step_ms_blur"] = round(
                 _time_step(f3, a3, max(2, iters // 2), overhead) * 1e3, 2)
         except Exception as e:  # noqa: BLE001
+            if _is_backend_err(e):
+                raise
             extras["per_step_ms_blur"] = None
             print(f"# blur step failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -453,12 +503,17 @@ def _child_main() -> int:
     mfu = (flops / per_step / peak) if flops else None
     ideal_ms = (flops / peak * 1e3) if flops else None
 
+    # A100 class estimate is 0.1 fps at 100 steps; respacing is equally
+    # available to the reference, so scale its denominator to the same
+    # schedule — schedule choice alone cannot move this ratio
+    a100_fps = 0.1 * 100.0 / SERVING_STEPS
     result = {
         "metric": "restored_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": (f"frames/s ({size}px, {SERVING_STEPS}-step guided DDIM "
                  f"window, {frames} frames)"),
-        "vs_baseline": round(fps / 0.1, 3),
+        "vs_baseline": round(fps / a100_fps, 3),
+        "config": _bench_config(),
         "per_step_ms": round(per_step * 1e3, 2),
         "step_tflops": round(flops / 1e12, 2) if flops else None,
         "mfu": round(mfu, 4) if mfu else None,
@@ -510,22 +565,33 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             last_err = f"child timed out after {child_timeout:.0f}s"
             retriable = True  # tunnel wedge: execution hangs, enum works
+            # the kill above terminated a process mid-TPU-op, which is
+            # known to wedge this machine's tunnel for a long time
+            # (memory/axon-tunnel-wedge) — a short retry would hang and be
+            # killed again, compounding the wedge; cool down instead
+            delay = max(delay, 1800.0)
         if not retriable or time.time() + delay > deadline:
             break
         print(f"# {last_err}; retrying in {delay:.0f}s "
               f"({deadline - time.time():.0f}s budget left)", file=sys.stderr)
         time.sleep(delay)
-        delay = min(delay * 2, 900.0)
+        delay = min(delay * 2, 1800.0)
 
     # out of budget (or non-retriable): emit the last good record, marked
-    # stale, so the driver still gets a parseable, honest number
+    # stale, so the driver still gets a parseable, honest number — but
+    # only if it measured the SAME config as this invocation (a
+    # BENCH_DCN=exact probe run must not impersonate the default headline)
     if os.path.exists(_LAST):
         with open(_LAST) as f:
             rec = json.load(f)
-        rec["stale"] = True
-        rec["error"] = last_err
-        print(json.dumps(rec))
-        return 0
+        if rec.get("config") == _bench_config():
+            rec["stale"] = True
+            rec["error"] = last_err
+            print(json.dumps(rec))
+            return 0
+        print("# stale record config mismatch "
+              f"({rec.get('config')} != {_bench_config()}); not reusing",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "restored_frames_per_sec_per_chip",
         "value": None,

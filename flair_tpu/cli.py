@@ -269,6 +269,13 @@ def main(argv=None) -> int:
     if args.input_dirs:
         dirs = [s.strip() for s in args.input_dirs.split(",") if s.strip()]
         clip_names = [Path(s).name or f"clip{i}" for i, s in enumerate(dirs)]
+        # basenames can collide (/a/frames, /b/frames) — disambiguate so
+        # one clip's outputs don't silently overwrite another's
+        seen: dict = {}
+        for i, name in enumerate(clip_names):
+            if name in seen:
+                clip_names[i] = f"{name}_{i}"
+            seen[name] = i
         clips = [load_frames(s) for s in dirs]
         if args.frames:
             clips = [c[: args.frames] for c in clips]

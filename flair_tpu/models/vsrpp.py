@@ -50,9 +50,20 @@ def _tile_config(pty: int):
     env = os.environ.get("FLAIR_DCN_TILE")
     if not env:
         return (2, 4), (pty, 32), 16, False
-    parts = [p.strip() for p in env.split(",")]
-    ty, tx, pty_pad, ptx, ntb = (int(p) for p in parts[:5])
-    lane = len(parts) > 5 and parts[5] == "lane"
+    try:
+        parts = [p.strip() for p in env.split(",")]
+        ty, tx, pty_pad, ptx, ntb = (int(p) for p in parts[:5])
+        lane = len(parts) > 5 and parts[5] == "lane"
+    except (ValueError, IndexError):
+        # the advertised no-code-edit knob must not kill a serving run
+        # mid-trace on a typo — warn and keep the default config
+        import logging
+
+        logging.getLogger("flair_tpu").warning(
+            "FLAIR_DCN_TILE=%r is malformed (want "
+            "'ty,tx,pty_pad,ptx,ntb[,lane]'); using the default tile "
+            "config", env)
+        return (2, 4), (pty, 32), 16, False
     return (ty, tx), (pty + pty_pad, ptx), ntb, lane
 
 Array = jax.Array

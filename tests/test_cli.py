@@ -73,6 +73,59 @@ def test_cli_batched_input_dirs_and_ddim_flags(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out_dir, "clipB", "0002.png"))
 
 
+def test_cli_input_dirs_basename_collision_disambiguated(
+        tmp_path, monkeypatch):
+    """Clips whose directories share a basename must not overwrite each
+    other's outputs (cli.py clip_names dedupe)."""
+    import flair_tpu.cli as cli
+
+    (tmp_path / "runA").mkdir()
+    (tmp_path / "runB").mkdir()
+    d1 = _write_clip(tmp_path / "runA", "frames", seed=1)
+    d2 = _write_clip(tmp_path / "runB", "frames", seed=2)
+
+    def fake_build_model(task, ckpt, exact_dcn=False):
+        return object(), {}
+
+    def fake_wrap(d, model, params):
+        return lambda *a, **k: None
+
+    def fake_restore_video(frames, cfg, model_apply, **kw):
+        b, t = frames.shape[:2]
+        return np.zeros((b, t, cfg.output_size, cfg.output_size, 3),
+                        np.float32)
+
+    monkeypatch.setattr(cli, "build_model", fake_build_model)
+    import flair_tpu.pipeline.video as pv
+    import flair_tpu.pipeline.wrappers as pw
+
+    monkeypatch.setattr(pw, "wrap_bicubic_model", fake_wrap)
+    monkeypatch.setattr(pv, "restore_video", fake_restore_video)
+
+    out_dir = str(tmp_path / "out")
+    rc = cli.main([
+        "x8_bicubic", "--input-dirs", f"{d1},{d2}", "--output-dir", out_dir,
+        "--no-face",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "frames", "0000.png"))
+    assert os.path.exists(os.path.join(out_dir, "frames_1", "0000.png"))
+
+
+def test_tile_config_env_fallbacks(monkeypatch):
+    """FLAIR_DCN_TILE is the advertised no-code-edit knob: malformed
+    values must warn and fall back, not crash mid-trace."""
+    from flair_tpu.models.vsrpp import _tile_config
+
+    default = _tile_config(16)
+    monkeypatch.setenv("FLAIR_DCN_TILE", "4,4")  # too few fields
+    assert _tile_config(16) == default
+    monkeypatch.setenv("FLAIR_DCN_TILE", "4x4,24,64,16")  # non-numeric
+    assert _tile_config(16) == default
+    monkeypatch.setenv("FLAIR_DCN_TILE", "4,8,8,64,8,lane")
+    assert _tile_config(16) == ((4, 8), (24, 64), 8, True)
+
+
 def test_cli_rejects_mismatched_clip_shapes(tmp_path, monkeypatch):
     import flair_tpu.cli as cli
 

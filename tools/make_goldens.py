@@ -192,7 +192,7 @@ def run_ours(variables, degraded01, *, task="x8_bicubic",
     try:
         return restore_video(
             degraded01, cfg, model_apply, diffusion=d,
-            guidance=GuidanceConfig(use_aux=False, w=W, rho=RHO, tau=TAU,
+            guidance=GuidanceConfig(use_aux=False, w=w, rho=RHO, tau=TAU,
                                     zeta=ZETA, noise_level=0.0),
             win=WIN, overlap=OV, pad_tail=False,
         )

@@ -16,10 +16,14 @@ shape (..., H, W, C).
 from __future__ import annotations
 
 import json
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
@@ -109,26 +113,16 @@ def lpips_dist(a: np.ndarray, b: np.ndarray):
 
 
 def load_frames(path: str) -> np.ndarray:
-    """Natural-sorted PNGs in a dir (or one .npy stack) → (T,H,W,3) [0,1]."""
+    """Natural-sorted PNGs in a dir (or one .npy stack) → (T,H,W,3) [0,1].
+
+    PNG directories load through the CLI's loader so scoring and serving
+    can never disagree on frame ordering or color conversion."""
     p = Path(path)
     if p.suffix == ".npy":
         return np.asarray(np.load(p), np.float32)
-    import re
+    from flair_tpu.cli import load_frames as _cli_load
 
-    import cv2
-
-    def natkey(q):
-        return [int(s) if s.isdigit() else s
-                for s in re.split(r"(\d+)", q.name)]
-
-    paths = sorted(p.glob("*.png"), key=natkey)
-    if not paths:
-        raise FileNotFoundError(f"no PNG frames in {path}")
-    out = []
-    for q in paths:
-        img = cv2.imread(str(q), cv2.IMREAD_COLOR)
-        out.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-    return np.stack(out).astype(np.float32) / 255.0
+    return _cli_load(path)
 
 
 def main(argv=None) -> int:
