@@ -27,6 +27,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax
 import jax.numpy as jnp
 
+# honor JAX_PLATFORMS for off-TPU validation: this machine's sitecustomize
+# registers the axon plugin at startup and the env var alone doesn't switch
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
