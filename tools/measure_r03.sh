@@ -5,7 +5,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=MEASURE_r03.log
-stages=${*:-"tile warp dispatch blur_exact"}
+stages=${*:-"tile warp dispatch blur_exact batch4"}
 
 echo "=== measure_r03 $(date -u +%FT%TZ) stages: $stages ===" | tee -a $LOG
 
@@ -30,6 +30,13 @@ for s in $stages; do
       # BlurUNet step with the exact-DCN fallback (VERDICT r2 #4)
       echo "--- blur step, exact DCN ---" | tee -a $LOG
       BENCH_DCN=exact BENCH_SKIP_FACE=1 BENCH_BATCH=0 BENCH_STEPS=2 \
+        BENCH_WAIT_S=600 timeout 5400 python bench.py 2>&1 | tee -a $LOG
+      ;;
+    batch4)
+      # serving throughput at 4 independent windows (HBM may not fit —
+      # bench degrades gracefully via its per-variant try/except)
+      echo "--- batch-4 serving throughput ---" | tee -a $LOG
+      BENCH_BATCH=4 BENCH_SKIP_FACE=1 BENCH_SKIP_BLUR=1 BENCH_STEPS=2 \
         BENCH_WAIT_S=600 timeout 5400 python bench.py 2>&1 | tee -a $LOG
       ;;
     *) echo "unknown stage $s" ;;
