@@ -25,7 +25,10 @@ Resilience (VERDICT r2 #1/#5): this machine's axon TPU tunnel dies for
 hours at a time — round 2 lost its number to a single rc=1. The measuring
 run therefore executes in a CHILD subprocess; the parent retries
 backend-unavailable failures with backoff inside ``BENCH_WAIT_S`` (default
-3h), and on final failure emits the last successful record from
+30 min — sized for unattended driver runs; resident runs pass 12 h), a
+watchdog converts a hung backend init into a prompt retriable exit
+(``BENCH_PROBE_TIMEOUT``, default 5 min), and on final failure the parent
+emits the last successful record from
 ``.bench_last.json`` marked ``"stale": true`` (or a structured error
 record) with rc=0 — the driver always gets parseable JSON.
 
@@ -380,13 +383,33 @@ def _child_main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-    # backend probe: fail fast (and retriably) before building models
+    # backend probe: fail fast (and retriably) before building models.
+    # A wedged tunnel HANGS backend init for tens of minutes rather than
+    # erroring — a watchdog turns that into a prompt retriable exit so a
+    # retry cycle costs ~5 min, not the whole child timeout. (A tunnel
+    # that is UP completes the probe in seconds; a mid-compile run is
+    # never killed because the watchdog is cancelled after the probe.)
+    import threading
+
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    probe_done = threading.Event()
+
+    def _watchdog():
+        if not probe_done.wait(probe_timeout):
+            print(f"# backend probe hung >{probe_timeout:.0f}s; "
+                  "treating as unavailable", file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(42)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     try:
         overhead = _readback_overhead_ms()
     except Exception as e:  # noqa: BLE001
         print(f"# backend probe failed: {type(e).__name__}: {e}",
               file=sys.stderr)
         return 42
+    finally:
+        probe_done.set()
     print(f"# readback overhead: {overhead:.1f} ms", file=sys.stderr)
 
     # the tunnel can also die AFTER the probe, mid-compile or mid-timing —
@@ -540,7 +563,11 @@ def main() -> int:
 
     # parent: retry loop around the child (fresh process per attempt — a
     # failed backend init can leave the in-process JAX state poisoned)
-    wait_s = float(os.environ.get("BENCH_WAIT_S", "10800"))
+    # default sized for an UNATTENDED (driver) invocation: with the probe
+    # watchdog each dead-tunnel attempt costs ~5 min, so 1800 s buys a few
+    # retries before falling back to the stale record; long resident runs
+    # set BENCH_WAIT_S explicitly (tools/measure_r03.sh uses 43200)
+    wait_s = float(os.environ.get("BENCH_WAIT_S", "1800"))
     child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "5400"))
     deadline = time.time() + wait_s
     delay = 60.0
