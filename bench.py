@@ -95,6 +95,10 @@ def _bench_config() -> dict:
     }
 
 
+def _config_key() -> str:
+    return json.dumps(_bench_config(), sort_keys=True)
+
+
 def _is_backend_err(e: BaseException) -> bool:
     s = f"{type(e).__name__}: {e}"
     return any(k in s for k in (
@@ -548,10 +552,19 @@ def _child_measure(size, frames, iters, overhead) -> int:
         **extras,
     }
     try:
+        store = {}
+        if os.path.exists(_LAST):
+            with open(_LAST) as f:
+                prev = json.load(f)
+            # multi-config store {config_key: record}; ignore legacy flat
+            if prev and all(isinstance(v, dict) for v in prev.values()):
+                store = {k: v for k, v in prev.items()
+                         if isinstance(v, dict) and "config" in v}
+        store[_config_key()] = {**result, "measured_at": time.strftime(
+            "%Y-%m-%dT%H:%M:%S")}
         with open(_LAST, "w") as f:
-            json.dump({**result, "measured_at": time.strftime(
-                "%Y-%m-%dT%H:%M:%S")}, f)
-    except OSError:
+            json.dump(store, f)
+    except (OSError, ValueError):
         pass
     print(json.dumps(result))
     return 0
@@ -606,18 +619,24 @@ def main() -> int:
 
     # out of budget (or non-retriable): emit the last good record, marked
     # stale, so the driver still gets a parseable, honest number — but
-    # only if it measured the SAME config as this invocation (a
-    # BENCH_DCN=exact probe run must not impersonate the default headline)
+    # only one that measured the SAME config as this invocation (a
+    # BENCH_DCN=exact probe run must not impersonate the default headline;
+    # the store keeps one record per config for exactly this reason)
     if os.path.exists(_LAST):
-        with open(_LAST) as f:
-            rec = json.load(f)
-        if rec.get("config") == _bench_config():
+        try:
+            with open(_LAST) as f:
+                store = json.load(f)
+        except ValueError:
+            store = {}
+        rec = store.get(_config_key())
+        if rec is None and store.get("config") == _bench_config():
+            rec = store  # legacy flat record of the same config
+        if rec is not None and "metric" in rec:
             rec["stale"] = True
             rec["error"] = last_err
             print(json.dumps(rec))
             return 0
-        print("# stale record config mismatch "
-              f"({rec.get('config')} != {_bench_config()}); not reusing",
+        print(f"# no stale record for config {_config_key()}; not reusing",
               file=sys.stderr)
     print(json.dumps({
         "metric": "restored_frames_per_sec_per_chip",
