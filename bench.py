@@ -373,6 +373,19 @@ def _child_main() -> int:
     frames = int(os.environ.get("BENCH_FRAMES", "10"))
     iters = int(os.environ.get("BENCH_STEPS", "4"))
 
+    # single-chip coordination: the resident retry loop, the measurement
+    # queue and the driver's own bench run can all be alive at once, and a
+    # client killed mid-op wedges the tunnel for hours — serialize chip
+    # users behind a cooperative flock. Busy → retriable exit (42): the
+    # parent backs off and tries again, and on budget exhaustion serves
+    # the (by then usually fresh) per-config stale record.
+    from flair_tpu.utils.locking import acquire_tpu_lock, tpu_lock_needed
+
+    if tpu_lock_needed() and acquire_tpu_lock(timeout_s=30.0) is None:
+        print("# TPU chip lock busy (another measurement run owns the "
+              "chip); retriable", file=sys.stderr)
+        return 42
+
     import jax
 
     # honor JAX_PLATFORMS=cpu for off-TPU validation runs: this machine's

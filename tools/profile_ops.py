@@ -30,6 +30,14 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# serialize chip users (resident bench loop / measurement queue / driver
+# bench) behind the cooperative single-chip lock; block — the queue runs
+# this profiler deliberately and should wait its turn, not skip
+from flair_tpu.utils.locking import acquire_tpu_lock, tpu_lock_needed
+
+if tpu_lock_needed() and acquire_tpu_lock(timeout_s=3600.0) is None:
+    sys.exit("chip lock busy for 1h; aborting profile run")
+
 from flair_tpu.ops.deform import deform_conv2d_patch, deform_conv2d
 from flair_tpu.ops.warp import flow_warp
 
