@@ -49,7 +49,11 @@ def _tile_config(pty: int):
 
     env = os.environ.get("FLAIR_DCN_TILE")
     if not env:
-        return (2, 4), (pty, 32), 16, False
+        # ntb=16 at the ADM patch height (pty=24) exceeds the 16 MiB scoped
+        # VMEM limit (measured: 17.64M, BlurUNet 512² compile) — the patch
+        # scratch and the unrolled per-tile temporaries both scale with ntb,
+        # so the taller patch rides a half-size DMA batch.
+        return (2, 4), (pty, 32), (16 if pty <= 16 else 8), False
     try:
         parts = [p.strip() for p in env.split(",")]
         ty, tx, pty_pad, ptx, ntb = (int(p) for p in parts[:5])
