@@ -57,18 +57,21 @@ def _dcn_tile_kernel(
     wall_ref,         # (A*KK, 128, Cout) bf16 VMEM (parity-duplicated)
     out_ref,          # (1, NPIXB, Cout)
     patch_ref,        # (2, NTB, A, PTY, PTXP, 128) VMEM scratch
-    samp_ref,         # (NTB, R, 128) bf16 VMEM scratch
+    samp_ref,         # (NTB2, R, 128) bf16 VMEM scratch
+    acc_ref,          # (NPIXB, Cout) f32 VMEM scratch
     sem_ref,          # DMA sems (2, NTB, A)
     *,
     ntb: int, a: int, ga: int, kk: int, pty: int, ptx: int, xpack: int,
     ca: int, cg: int, cout: int, tpix: int, n_steps: int, ablate: str = "",
-    lane_slice: bool = False,
+    lane_slice: bool = False, bc: int = 0, ntb2: int = 0,
 ):
     i = pl.program_id(0)
     r = kk * tpix * ga
     kb = tpix * ga            # rows per tap block
     ptxp = ptx // xpack       # packed patch columns
     uvp = pty * ptxp
+    bc = bc or r              # window-build chunk (R lanes per dot1)
+    ntb2 = ntb2 or ntb        # tiles per tap-contraction sub-batch
 
     nodma = ablate in ("nodma", "empty")
 
@@ -124,58 +127,75 @@ def _dcn_tile_kernel(
             for ai in range(a):
                 dma(buf, t, ai, anchors_ref).wait()
 
+    # chunking (VMEM): the window build's (UVP, bc) temporaries and the
+    # (NTB2, R, SW) samp scratch are the kernel's two size-scaling
+    # allocations — bc chunks the build over R lanes, ntb2 sub-batches the
+    # tap contraction over tiles, so large tiles/patches stay under the
+    # 16 MiB scoped-VMEM limit. Results are bit-identical: chunk rows of
+    # samp are disjoint, and the tap contraction accumulates per sub-batch
+    # into disjoint f32 acc rows.
     for ai in range(a):
-        for t in range(ntb):
-            s = t * a + ai
-            ry = ry_ref[0, s, :][None, :]            # (1, R)
-            rx = rx_ref[0, s, :][None, :]
-            mw = mw_ref[0, s, :][None, :]
-            wy = (jnp.maximum(0.0, 1.0 - jnp.abs(ry - u_row))
-                  * mw) if ablate != "nobuild" else None
-            patch = patch_ref[buf, t, ai].reshape(uvp, 128)
-            dots = []
-            for par in range(xpack if ablate != "onedot" else 1):
-                rhs = (patch[:, par * ca:(par + 1) * ca]
-                       if lane_slice and xpack > 1 else patch)
-                v_row = (colp * xpack + par).astype(jnp.float32)
-                if ablate == "nobuild":
-                    w2 = jnp.broadcast_to(patch[:, 0:1], (uvp, r)
-                                          ).astype(jnp.bfloat16)
-                else:
-                    # w2[(u·PTXP+colp), r] = relu(1-|ry-u|)·relu(1-|rx-v|)·m
-                    w2 = (wy * jnp.maximum(0.0, 1.0 - jnp.abs(rx - v_row))
-                          ).astype(jnp.bfloat16)     # (UVP, R)
-                dots.append(lax.dot_general(
-                    w2, rhs, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ))  # (R, SW); without lane_slice only par's Ca lanes valid
-            if xpack == 1 or ablate == "onedot":
-                samp = dots[0]
-            elif lane_slice:
-                samp = dots[0] + dots[1]
-            else:
-                samp = jnp.where(lane_par == 0, dots[0], dots[1])
-            samp_ref[t] = samp.astype(jnp.bfloat16) * gmask
+        for tb in range(ntb // ntb2):
+            for tt in range(ntb2):
+                t = tb * ntb2 + tt
+                s = t * a + ai
+                patch = patch_ref[buf, t, ai].reshape(uvp, 128)
+                for rc in range(0, r, bc):
+                    ry = ry_ref[0, s, rc:rc + bc][None, :]   # (1, bc)
+                    rx = rx_ref[0, s, rc:rc + bc][None, :]
+                    mw = mw_ref[0, s, rc:rc + bc][None, :]
+                    wy = (jnp.maximum(0.0, 1.0 - jnp.abs(ry - u_row))
+                          * mw) if ablate != "nobuild" else None
+                    dots = []
+                    for par in range(xpack if ablate != "onedot" else 1):
+                        rhs = (patch[:, par * ca:(par + 1) * ca]
+                               if lane_slice and xpack > 1 else patch)
+                        v_row = (colp * xpack + par).astype(jnp.float32)
+                        if ablate == "nobuild":
+                            w2 = jnp.broadcast_to(
+                                patch[:, 0:1], (uvp, bc)).astype(jnp.bfloat16)
+                        else:
+                            # w2[(u·PTXP+colp), rc] =
+                            #   relu(1-|ry-u|)·relu(1-|rx-v|)·m
+                            w2 = (wy * jnp.maximum(
+                                0.0, 1.0 - jnp.abs(rx - v_row))
+                                ).astype(jnp.bfloat16)   # (UVP, bc)
+                        dots.append(lax.dot_general(
+                            w2, rhs, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))  # (bc, SW); sans lane_slice only par's Ca valid
+                    if xpack == 1 or ablate == "onedot":
+                        samp = dots[0]
+                    elif lane_slice:
+                        samp = dots[0] + dots[1]
+                    else:
+                        samp = jnp.where(
+                            lane_par[rc:rc + bc] == 0, dots[0], dots[1])
+                    samp_ref[tt, rc:rc + bc, :] = (
+                        samp.astype(jnp.bfloat16) * gmask[rc:rc + bc])
 
-        # taps contract against the full conv weight, batched over tiles
-        for k in range(kk):
-            x_k = samp_ref[:, k * kb:(k + 1) * kb, :].reshape(ntb * kb, sw)
-            y_k = lax.dot_general(
-                x_k, wall_ref[ai * kk + k], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (NTB*KB, Cout)
-            y_k = y_k.reshape(ntb * tpix, ga, cout).sum(axis=1)
-            if ai == 0 and k == 0:
-                acc = y_k
-            else:
-                acc = acc + y_k
-    out_ref[0] = acc.astype(out_ref.dtype)
+            # taps contract against the full conv weight, batched over the
+            # sub-batch's tiles; disjoint acc rows per (tb)
+            rows = slice(tb * ntb2 * tpix, (tb + 1) * ntb2 * tpix)
+            for k in range(kk):
+                x_k = samp_ref[:, k * kb:(k + 1) * kb, :].reshape(
+                    ntb2 * kb, sw)
+                y_k = lax.dot_general(
+                    x_k, wall_ref[ai * kk + k], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (NTB2*KB, Cout)
+                y_k = y_k.reshape(ntb2 * tpix, ga, cout).sum(axis=1)
+                if ai == 0 and k == 0:
+                    acc_ref[rows] = y_k
+                else:
+                    acc_ref[rows] = acc_ref[rows] + y_k
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "patch", "ntb", "dilation", "interpret",
-                     "ablate", "lane_slice"),
+                     "ablate", "lane_slice", "build_chunk", "ntb2"),
 )
 def deform_conv2d_tile(
     x: Array,
@@ -192,6 +212,8 @@ def deform_conv2d_tile(
     interpret: bool = False,
     ablate: str = "",
     lane_slice: bool = False,
+    build_chunk: int | None = None,
+    ntb2: int | None = None,
 ) -> Array:
     """Tile-anchored DCNv2 (Pallas). API matches ``deform_conv2d_patch``.
 
@@ -206,6 +228,11 @@ def deform_conv2d_tile(
       patch:       (PTY, PTX); PTX % 16 == 0, PTY*PTX covering
                    tile span + 2·max_residue + 4 + flow spread.
       ntb:         tiles per grid step (DMA batch).
+      build_chunk: R lanes per window-build/dot1 chunk (multiple of
+                   TPIX·GA dividing R); None → largest under ~3 MiB of
+                   build temporaries. Bounds scoped VMEM for big tiles.
+      ntb2:        tiles per tap-contraction sub-batch (divides ntb);
+                   None → largest with samp scratch ≤ ~4 MiB.
 
     Returns (B, H, W, Cout) in x.dtype.
     """
@@ -234,6 +261,21 @@ def deform_conv2d_tile(
     tpix = ty * tx
     npixb = ntb * tpix
     r = kk * tpix * ga
+    kb = tpix * ga
+    sw = ca if lane_slice else 128
+    uvp = pty * (ptx // xpack)
+    if ntb2 is None:
+        # largest divisor of ntb keeping the samp scratch ≤ ~4 MiB
+        ntb2 = next(d for d in range(ntb, 0, -1)
+                    if ntb % d == 0
+                    and (d == 1 or d * r * sw * 2 <= 4 * 2 ** 20))
+    assert ntb % ntb2 == 0, "ntb2 must divide ntb"
+    if build_chunk is None:
+        # largest kb-multiple divisor of R with ≤ ~3 MiB of (UVP, bc)
+        # build temporaries (wy f32 + w2 bf16 + chunk dots)
+        build_chunk = next(c for c in (r, 3 * kb, kb)
+                           if c == kb or uvp * c * 6 <= 3 * 2 ** 20)
+    assert r % build_chunk == 0, "build_chunk must divide R"
 
     cdt = jnp.float32
     dtp = jnp.bfloat16
@@ -329,7 +371,8 @@ def deform_conv2d_tile(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, ntb, a, pty, ptx // xpack, 128), dtp),
-            pltpu.VMEM((ntb, r, ca if lane_slice else 128), dtp),
+            pltpu.VMEM((ntb2, r, sw), dtp),
+            pltpu.VMEM((npixb, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, ntb, a)),
         ],
     )
@@ -338,7 +381,7 @@ def deform_conv2d_tile(
         _dcn_tile_kernel,
         ntb=ntb, a=a, ga=ga, kk=kk, pty=pty, ptx=ptx, xpack=xpack,
         ca=ca, cg=cg, cout=cout, tpix=tpix, n_steps=n_steps, ablate=ablate,
-        lane_slice=lane_slice,
+        lane_slice=lane_slice, bc=build_chunk, ntb2=ntb2,
     )
     out = pl.pallas_call(
         kernel,

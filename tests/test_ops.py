@@ -739,6 +739,25 @@ class TestDCNTilePallas:
         err = jnp.mean(jnp.abs(ref - out)) / jnp.mean(jnp.abs(ref))
         assert float(err) < 0.02, float(err)
 
+    @pytest.mark.parametrize("bc_div,ntb2", [(3, 4), (9, 2), (3, 1)])
+    def test_chunked_build_and_subbatch_match_unchunked(self, bc_div, ntb2):
+        """build_chunk/ntb2 are pure VMEM chunkings — results must be
+        bit-identical to the unchunked kernel (same dots, disjoint rows)."""
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+
+        x, flow, off, mask, wgt, bias = self._mk(
+            jax.random.PRNGKey(7), amp=1.5, M=2.0)
+        kwargs = dict(mask=mask, tile=(2, 4), patch=(16, 32), ntb=8,
+                      interpret=True)
+        ref = deform_conv2d_tile(x, flow, off, wgt, bias, **kwargs)
+        r = 9 * 8 * 8  # kk * tpix * ga
+        out = deform_conv2d_tile(
+            x, flow, off, wgt, bias, build_chunk=r // bc_div, ntb2=ntb2,
+            **kwargs)
+        assert jnp.array_equal(ref, out)
+
     def test_escape_fraction_flags_rough_flow(self):
         import jax
 

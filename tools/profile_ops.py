@@ -156,21 +156,28 @@ if sel("tile"):
         wgt = jax.random.normal(ks[4], (3, 3, cin, cout), jnp.bfloat16) * 0.05
         anchor = flow
         pty = 16 if M <= 5 else 24
-        cfgs = [
-            ((2, 4), (pty, 32), 16, False),
-            ((2, 4), (pty, 32), 16, True),
-            ((4, 4), (pty + 4, 32), 16, False),
-            ((4, 4), (pty + 4, 32), 16, True),
-            ((4, 4), (pty + 4, 32), 8, True),
-            ((2, 4), (pty, 32), 32, True),
-            # bigger tiles: DMA bytes and per-grid-step fixed costs drop with
-            # tile count; MACs grow with tile pixels x patch rows — find the
-            # crossover
-            ((4, 4), (pty + 4, 32), 32, True),
-            ((4, 8), (pty + 4, 32), 16, True),
-            ((4, 8), (pty + 4, 32), 32, True),
-            ((8, 8), (pty + 8, 32), 16, True),
-        ]
+        # generate tile×ntb×lane candidates, VMEM-estimated: the kernel's
+        # build_chunk/ntb2 auto-chunking bounds samp (≤4M) and build
+        # temporaries (≤3M); patch scratch and double-buffered coord
+        # blocks still scale with ntb — skip configs those alone blow.
+        ca = cin // 2
+        xpack = 128 // ca
+        cfgs = []
+        for tile in [(2, 4), (4, 4), (4, 8), (8, 8)]:
+            p = (pty + (tile[0] if tile[0] > 2 else 0), 32)
+            for ntb in [8, 16, 32]:
+                for lane in ([False, True] if xpack > 1 else [False]):
+                    tpix = tile[0] * tile[1]
+                    rr = 9 * tpix * 8
+                    patch_mb = (2 * ntb * 2 * p[0] * (32 // xpack) * 128
+                                * 2) / 2**20
+                    blocks_mb = 2 * 3 * ntb * 2 * rr * 4 / 2**20
+                    if patch_mb + blocks_mb + 4 + 3 > 14.5:
+                        continue
+                    n_tiles = (h // tile[0]) * (h // tile[1])
+                    if n_tiles % ntb:
+                        continue
+                    cfgs.append((tile, p, ntb, lane))
         for tile, patch, ntb, lane in cfgs:
             name = (f"dcn_tile {h}^2 cin{cin} M{M} t{tile[0]}x{tile[1]} "
                     f"p{patch[0]}x{patch[1]} ntb{ntb}"
