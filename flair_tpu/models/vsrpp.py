@@ -284,6 +284,14 @@ class _PropStep(nn.Module):
     def __call__(self, carry, xs):
         prop_n1, prop_n2 = carry
         feat_current, extra, flow_n1, flow_n2_in, weight_t, idx = xs
+        # flows/weights arrive component-packed (B, 2|1, H, W) — a trailing
+        # size-2/1 lane dim on the scan's stacked xs makes XLA materialize
+        # 64-128×-padded remat copies (measured: two 2.5 G copies of
+        # f32[T,B,H,W,2] per step at 512²); unpacking per step is a ~2 MB
+        # relayout instead
+        flow_n1 = jnp.moveaxis(flow_n1, 1, -1)
+        flow_n2_in = jnp.moveaxis(flow_n2_in, 1, -1)
+        weight_t = jnp.moveaxis(weight_t, 1, -1)
         c = self.features
 
         align = SecondOrderDeformableAlignment(
@@ -373,6 +381,11 @@ class BasicVSRPP(nn.Module):
         zeros2 = jnp.zeros((b, 2, h, w, 2), hidden.dtype)
         idxs = jnp.arange(t)
 
+        # scan xs with a trailing 2/1-wide dim are stored component-packed
+        # (T, B, 2|1, H, W) — see _PropStep.__call__ for why
+        def pack(v):  # (T*, B, H, W, k) -> (T*, B, k, H, W)
+            return jnp.moveaxis(v, -1, 2)
+
         scan = nn.scan(
             _PropStep,
             variable_broadcast="params",
@@ -408,7 +421,8 @@ class BasicVSRPP(nn.Module):
             self.dcn_impl,
             self.dtype,
             name="backward_1",
-        )(init, (feats_rev, extra_empty, fb_n1, fb_n2, w_rev, idxs))
+        )(init, (feats_rev, extra_empty, pack(fb_n1), pack(fb_n2),
+                 pack(w_rev), idxs))
         bwd = jnp.moveaxis(bwd[::-1], 0, 1)  # (B, T, H, W, C)
 
         # --- forward branch: frames 0 → T-1 ---------------------------------
@@ -426,7 +440,8 @@ class BasicVSRPP(nn.Module):
             self.dcn_impl,
             self.dtype,
             name="forward_1",
-        )(init, (feats_fwd, extra_fwd, ff_n1, ff_n2, w_fwd, idxs))
+        )(init, (feats_fwd, extra_fwd, pack(ff_n1), pack(ff_n2),
+                 pack(w_fwd), idxs))
         fwd = jnp.moveaxis(fwd, 0, 1)
 
         # --- reconstruction (unet.py:494-530) -------------------------------

@@ -320,14 +320,37 @@ def deform_conv2d_tile(
     ky = (jnp.repeat(jnp.arange(3), 3).astype(cdt) - 1.0) * dilation  # (K,)
     kx = (jnp.tile(jnp.arange(3), 3).astype(cdt) - 1.0) * dilation
     # offsets arranged (B,H,W,G,K,2); lane target order is (k, p, g) per
-    # (tile, anchor):  reshape → (b, nty, ty, ntx, tx, a, ga, kk) →
-    # transpose → (b, nty, ntx, a, kk, ty, tx, ga)
+    # (tile, anchor). A direct 8-D transpose to (…, kk, ty, tx, ga) ends
+    # in minor dims of 2/4/8 → XLA pads its materialized temp 16×
+    # (measured: two 4.5 G HLO temps per 512² call — most of the per-call
+    # HBM traffic, and the batch-2 serving OOM). Instead: one pixel-tiling
+    # transpose whose minor dims stay ≥(tx, ga·kk) wide, then the final
+    # (ty,tx,ga,kk)→(kk,ty,tx,ga) lane permutation as an exact one-hot
+    # matmul on the MXU (Precision.HIGH = bf16_3x represents every f32
+    # input exactly: 3×8 mantissa bits ≥ f32's 24, so the permute is
+    # bit-exact).
+    import numpy as np
+
+    m_idx = np.arange(r).reshape(ty, tx, ga, kk)
+    m_of_l = np.transpose(m_idx, (3, 0, 1, 2)).reshape(r)
+    p_onehot = np.zeros((r, r), np.float32)
+    p_onehot[m_of_l, np.arange(r)] = 1.0
+    perm = jnp.asarray(p_onehot)
+
     def lanes(v, add_k):  # v: (B,H,W,G,K) -> (n_steps, ntb*a, R)
-        v6 = v.reshape(b, nty, ty, ntx_t, tx, a, ga, kk)
-        v6 = v6.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+        per_a = []
+        for ai in range(a):
+            va = v[:, :, :, ai * ga:(ai + 1) * ga, :].reshape(
+                b, nty, ty, ntx_t, tx, ga * kk)
+            va = va.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b * nty * ntx_t, ty * tx * ga * kk)
+            per_a.append(lax.dot_general(
+                va, perm, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGH))
+        v2 = jnp.stack(per_a, axis=1)          # (n_tiles, a, R), (k,p,g)
         if add_k is not None:
-            v6 = v6 + add_k[None, None, None, None, :, None, None, None]
-        return v6.reshape(n_steps, ntb * a, r)
+            v2 = v2 + jnp.repeat(add_k, tpix * ga)
+        return v2.reshape(n_steps, ntb * a, r)
 
     oy = offset[..., 0].astype(cdt)
     ox = offset[..., 1].astype(cdt)

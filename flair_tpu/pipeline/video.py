@@ -188,6 +188,10 @@ def restore_video(
     update rule (``eta``; see diffusion.sampler.p_sample) — the fast
     serving path when combined with a respaced diffusion (cfg.steps =
     "ddimN"); all guidance hooks (consistency, face prior, pinning) apply.
+    "scan"/"scan_p" are NOT production paths: measured dispatch overhead
+    of the host loop is 0.47 ms/step (tools/profile_dispatch.py, PERF.md
+    round 3), so the monolithic programs buy nothing — they are kept for
+    CPU parity tests and the multi-chip dry-run.
 
     ``mesh``: multi-chip serving. When a ``jax.sharding.Mesh`` is given,
     every per-window tensor whose frame dim divides the mesh's
