@@ -37,23 +37,28 @@ from .registry import register_model
 _TILE_NOTICE: list = []
 
 
-def _tile_config(pty: int):
+def _tile_config(pty: int, ca: int = 64):
     """Tile-DCN kernel configuration: (tile, patch, ntb, lane_slice).
 
-    Default is the round-2 measured config ((2,4)/(pty,32)/16). Override
-    with FLAIR_DCN_TILE="ty,tx,pty_pad,ptx,ntb[,lane]" to flip on the
+    Default is the round-3 measured winner ((2,4)/(pty,32); sweep v2 in
+    PERF.md — larger tiles lose to window-MAC inflation once the layout
+    fix removed the fixed-cost tax). Override with
+    FLAIR_DCN_TILE="ty,tx,pty_pad,ptx,ntb[,lane]" to flip on a
     tools/profile_ops.py `tile` sweep winner without code edits —
     ``pty_pad`` is ADDED to the M-derived patch height (so one env value
-    serves both the SR3 M=5/pty=16 and ADM M=10/pty=24 routings)."""
+    serves both the SR3 M=5/pty=16 and ADM M=10/pty=24 routings).
+    ``ca`` is the per-anchor channel width (cin // 2)."""
     import os
 
     env = os.environ.get("FLAIR_DCN_TILE")
     if not env:
-        # ntb=16 at the ADM patch height (pty=24) exceeds the 16 MiB scoped
-        # VMEM limit (measured: 17.64M, BlurUNet 512² compile) — the patch
-        # scratch and the unrolled per-tile temporaries both scale with ntb,
-        # so the taller patch rides a half-size DMA batch.
-        return (2, 4), (pty, 32), (16 if pty <= 16 else 8), False
+        # ntb: measured per shape class (bigntb probe, PERF.md round 3) —
+        # cin=256 sites (ca=128, xpack=1) run faster AND halve the patch
+        # scratch at ntb=8 (13.4 vs 18.3 ms at 256²); cin=128 sites keep
+        # ntb=16 (67.5 vs 74.3 at ntb8). The tall ADM patch (pty>16) also
+        # rides ntb=8: ntb=16 needs 17.64 M scoped VMEM (16 M limit).
+        ntb = 8 if (ca == 128 or pty > 16) else 16
+        return (2, 4), (pty, 32), ntb, False
     try:
         parts = [p.strip() for p in env.split(",")]
         ty, tx, pty_pad, ptx, ntb = (int(p) for p in parts[:5])
@@ -205,7 +210,8 @@ class SecondOrderDeformableAlignment(nn.Module):
         #   sublane tiling of the padded packed operand; xpack = 128/ca),
         #   n_tiles = b·(h/ty)·(w/tx) divisible by ntb.
         _pty0 = 16 if self.max_residue_magnitude <= 5 else 24
-        (_ty, _tx), (_, _ptx), _ntb, _ = _tile_config(_pty0)
+        (_ty, _tx), (_, _ptx), _ntb, _ = _tile_config(
+            _pty0, x.shape[-1] // 2)
         if use_tile and x.shape[1] % _ty == 0 and x.shape[2] % _tx == 0 \
                 and x.shape[-1] // 2 in (64, 128):
             _ca = x.shape[-1] // 2
@@ -242,7 +248,8 @@ class SecondOrderDeformableAlignment(nn.Module):
                 axis=3,
             ).astype(jnp.float32)  # (B,H,W,2,2) in (dy,dx)
             pty = 16 if self.max_residue_magnitude <= 5 else 24
-            tile_t, patch_p, ntb_n, lane = _tile_config(pty)
+            tile_t, patch_p, ntb_n, lane = _tile_config(
+                pty, x.shape[-1] // 2)
             y = deform_conv2d_tile_ad(
                 x.astype(self.dtype), anchor, off, weight, bias,
                 mask is None, tile_t, patch_p, ntb_n, lane, mask=mask,

@@ -108,15 +108,20 @@ def _dcn_tile_kernel(
     gmask = (row_g == col_g).astype(jnp.bfloat16)
     lane_par = lax.broadcasted_iota(jnp.int32, (r, sw), 1) // ca  # 0/1
 
-    row_i = lax.broadcasted_iota(jnp.int32, (uvp, 1), 0)
-    u_row = (row_i // ptxp).astype(jnp.float32)       # (UVP, 1)
-    colp = row_i % ptxp
+    # separable window build: wy has only PTY distinct row values and wx
+    # only PTXP — build both small and expand to (UVP, bc) via sublane /
+    # leading broadcasts + collapse (free in Mosaic), so the only
+    # UVP-sized VPU ops are the product and the bf16 cast
+    # (Mosaic requires integer iota results; cast after)
+    u_small = lax.broadcasted_iota(jnp.int32, (pty, 1), 0).astype(
+        jnp.float32)                                              # (PTY,1)
+    v_small = lax.broadcasted_iota(jnp.int32, (ptxp, 1), 0)       # (PTXP,1)
 
     if ablate == "empty":
-        out_ref[0] = (ry_ref[0, 0:tpix * ntb, 0:cout]
-                      + rx_ref[0, 0:tpix * ntb, 0:cout]
-                      + mw_ref[0, 0:tpix * ntb, 0:cout]
-                      ).astype(out_ref.dtype)
+        probe = (ry_ref[0, 0:1, 0:cout] + rx_ref[0, 0:1, 0:cout]
+                 + mw_ref[0, 0:1, 0:cout])
+        out_ref[0] = jnp.broadcast_to(
+            probe, (ntb * tpix, cout)).astype(out_ref.dtype)
         return
 
     # wait for the whole step's patches BEFORE any compute: a semaphore
@@ -144,22 +149,29 @@ def _dcn_tile_kernel(
                     ry = ry_ref[0, s, rc:rc + bc][None, :]   # (1, bc)
                     rx = rx_ref[0, s, rc:rc + bc][None, :]
                     mw = mw_ref[0, s, rc:rc + bc][None, :]
-                    wy = (jnp.maximum(0.0, 1.0 - jnp.abs(ry - u_row))
-                          * mw) if ablate != "nobuild" else None
+                    if ablate != "nobuild":
+                        wy_s = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(ry - u_small)) * mw
+                        wy = jnp.broadcast_to(
+                            wy_s[:, None, :], (pty, ptxp, bc)
+                        ).reshape(uvp, bc)               # rows (u, colp)
                     dots = []
                     for par in range(xpack if ablate != "onedot" else 1):
                         rhs = (patch[:, par * ca:(par + 1) * ca]
                                if lane_slice and xpack > 1 else patch)
-                        v_row = (colp * xpack + par).astype(jnp.float32)
                         if ablate == "nobuild":
                             w2 = jnp.broadcast_to(
                                 patch[:, 0:1], (uvp, bc)).astype(jnp.bfloat16)
                         else:
                             # w2[(u·PTXP+colp), rc] =
                             #   relu(1-|ry-u|)·relu(1-|rx-v|)·m
-                            w2 = (wy * jnp.maximum(
-                                0.0, 1.0 - jnp.abs(rx - v_row))
-                                ).astype(jnp.bfloat16)   # (UVP, bc)
+                            v_row = (v_small * xpack + par).astype(
+                                jnp.float32)             # (PTXP, 1)
+                            wx = jnp.broadcast_to(
+                                jnp.maximum(
+                                    0.0, 1.0 - jnp.abs(rx - v_row)
+                                )[None], (pty, ptxp, bc)).reshape(uvp, bc)
+                            w2 = (wy * wx).astype(jnp.bfloat16)  # (UVP, bc)
                         dots.append(lax.dot_general(
                             w2, rhs, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,

@@ -136,6 +136,67 @@ if sel("unet") or sel("step"):
         timeit("BicubicUNet fwd 512^2 x10f",
                lambda p, x, l: model.apply(p, x, l, x, rnn_input=x), params, x, lvl)
 
+if sel("ablate"):
+    # component breakdown of the default tile-DCN config via kernel
+    # ablation modes (post layout-fix; the round-2 ablation numbers mixed
+    # the 16x-padded coordinate-prep tax into "fixed")
+    from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+    for (h, cin, cout, M) in [(512, 128, 64, 5), (256, 256, 128, 5)]:
+        b, g, kk = 1, 16, 9
+        x = jax.random.normal(ks[0], (b, h, h, cin), jnp.bfloat16)
+        flow = jax.random.normal(ks[1], (b, h, h, 2, 2), jnp.float32) * 8.0
+        flow = jax.image.resize(flow[:, ::8, ::8], flow.shape, "linear")
+        res = jnp.tanh(jax.random.normal(ks[2], (b, h, h, g, kk, 2),
+                                         jnp.float32) * 0.3) * M
+        off = jnp.repeat(flow, g // 2, axis=3)[:, :, :, :, None, :] + res
+        mask = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, h, g, kk),
+                                                jnp.float32))
+        wgt = jax.random.normal(ks[4], (3, 3, cin, cout), jnp.bfloat16) * 0.05
+        for ab in ("", "empty", "nodma", "nobuild", "onedot"):
+            name = f"dcn_tile {h}^2 cin{cin} ablate={ab or 'none'}"
+            try:
+                timeit(name,
+                       lambda x, anchor, off, wgt, mask, ab=ab:
+                       deform_conv2d_tile(
+                           x, anchor, off, wgt, mask=mask, tile=(2, 4),
+                           patch=(16, 32), ntb=16, ablate=ab),
+                       x, flow, off, wgt, mask)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:46s} FAILED {type(e).__name__}: {e}",
+                      flush=True)
+
+if sel("bigntb"):
+    # the ablate stage showed ~37 ms of per-call overhead that is neither
+    # DMA nor kernel compute — if it scales with grid steps, larger DMA
+    # batches (feasible since ntb2 bounds the samp scratch) cut it
+    from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+    for (h, cin, cout, ntbs) in [(512, 128, 64, (16, 32, 64)),
+                                 (256, 256, 128, (8, 16))]:
+        b, g, kk, M = 1, 16, 9, 5
+        x = jax.random.normal(ks[0], (b, h, h, cin), jnp.bfloat16)
+        flow = jax.random.normal(ks[1], (b, h, h, 2, 2), jnp.float32) * 8.0
+        flow = jax.image.resize(flow[:, ::8, ::8], flow.shape, "linear")
+        res = jnp.tanh(jax.random.normal(ks[2], (b, h, h, g, kk, 2),
+                                         jnp.float32) * 0.3) * M
+        off = jnp.repeat(flow, g // 2, axis=3)[:, :, :, :, None, :] + res
+        mask = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, h, g, kk),
+                                                jnp.float32))
+        wgt = jax.random.normal(ks[4], (3, 3, cin, cout), jnp.bfloat16) * 0.05
+        for ntb in ntbs:
+            for ab in ("", "empty"):
+                name = (f"dcn_tile {h}^2 cin{cin} ntb{ntb}"
+                        + (f" ablate={ab}" if ab else ""))
+                try:
+                    timeit(name,
+                           lambda x, anchor, off, wgt, mask, n=ntb, ab=ab:
+                           deform_conv2d_tile(
+                               x, anchor, off, wgt, mask=mask, tile=(2, 4),
+                               patch=(16, 32), ntb=n, ablate=ab),
+                           x, flow, off, wgt, mask)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name:46s} FAILED {type(e).__name__}: {e}",
+                          flush=True)
+
 if sel("tile"):
     # Pallas tile-DCN lever sweep (PERF.md "next levers"): lane_slice halves
     # dot MACs when xpack>1 (ca=64); (4,4)/(20,32) amortises per-step fixed
