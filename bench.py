@@ -462,6 +462,16 @@ def _child_measure(size, frames, iters, overhead) -> int:
     fps = frames / (per_step * SERVING_STEPS)
 
     extras = {}
+
+    def _gc():
+        # each variant builds its OWN params/args/flows (~1.5 GB of device
+        # state); keeping prior variants alive cascaded RESOURCE_EXHAUSTED
+        # into later ones once batch-2 started allocating for real —
+        # callers None-out their references, this drops the device buffers
+        import gc
+
+        gc.collect()
+
     # DDPM continuity number: same forward program, reference update rule
     try:
         fd, ad = make_step("ddpm")
@@ -469,35 +479,15 @@ def _child_measure(size, frames, iters, overhead) -> int:
         tddpm = _time_step(fd, ad, max(2, iters // 2), overhead)
         extras["per_step_ms_ddpm"] = round(tddpm * 1e3, 2)
         extras["fps_ddpm100"] = round(frames / (tddpm * 100), 4)
+        fd = ad = None
+        _gc()
     except Exception as e:  # noqa: BLE001
         if _is_backend_err(e):
             raise
         extras["per_step_ms_ddpm"] = None
         print(f"# ddpm step failed: {type(e).__name__}: {e}", file=sys.stderr)
-
-    nb = int(os.environ.get("BENCH_BATCH", "2"))
-    if nb > 1:
-        # serving-throughput variant: nb INDEPENDENT windows restored
-        # concurrently (clips are independent in production; within one
-        # clip windows are sequential through prev_recon). Latency per
-        # step grows sub-linearly — per-call fixed costs amortise.
-        try:
-            mb, _ = _bicubic_step(size, frames, use_face=False, batch=nb)
-            fb, ab = mb("ddim")
-            t0 = time.time()
-            float(fb(*ab))
-            print(f"# batch{nb} compile+warmup: {time.time()-t0:.1f}s",
-                  file=sys.stderr)
-            tb = _time_step(fb, ab, max(2, iters // 2), overhead)
-            extras[f"per_step_ms_b{nb}"] = round(tb * 1e3, 2)
-            extras[f"fps_batch{nb}"] = round(
-                nb * frames / (tb * SERVING_STEPS), 4)
-        except Exception as e:  # noqa: BLE001
-            if _is_backend_err(e):
-                raise
-            extras[f"per_step_ms_b{nb}"] = None
-            print(f"# batch{nb} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+    fn = args = make_step = None
+    _gc()
 
     if not os.environ.get("BENCH_SKIP_FACE"):
         try:
@@ -515,6 +505,8 @@ def _child_measure(size, frames, iters, overhead) -> int:
             blended = (nface * tface + 1 * per_step) / SERVING_STEPS
             extras["value_face"] = round(
                 frames / (blended * SERVING_STEPS), 4)
+            f2 = a2 = mf = None
+            _gc()
         except Exception as e:  # noqa: BLE001
             if _is_backend_err(e):
                 raise
@@ -531,11 +523,38 @@ def _child_measure(size, frames, iters, overhead) -> int:
                   file=sys.stderr)
             extras["per_step_ms_blur"] = round(
                 _time_step(f3, a3, max(2, iters // 2), overhead) * 1e3, 2)
+            f3 = a3 = None
+            _gc()
         except Exception as e:  # noqa: BLE001
             if _is_backend_err(e):
                 raise
             extras["per_step_ms_blur"] = None
             print(f"# blur step failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    nb = int(os.environ.get("BENCH_BATCH", "2"))
+    if nb > 1:
+        # serving-throughput variant: nb INDEPENDENT windows restored
+        # concurrently (clips are independent in production; within one
+        # clip windows are sequential through prev_recon). Latency per
+        # step grows sub-linearly — per-call fixed costs amortise. Runs
+        # LAST: its near-HBM-limit footprint must not poison the others.
+        try:
+            mb, _ = _bicubic_step(size, frames, use_face=False, batch=nb)
+            fb, ab = mb("ddim")
+            t0 = time.time()
+            float(fb(*ab))
+            print(f"# batch{nb} compile+warmup: {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            tb = _time_step(fb, ab, max(2, iters // 2), overhead)
+            extras[f"per_step_ms_b{nb}"] = round(tb * 1e3, 2)
+            extras[f"fps_batch{nb}"] = round(
+                nb * frames / (tb * SERVING_STEPS), 4)
+        except Exception as e:  # noqa: BLE001
+            if _is_backend_err(e):
+                raise
+            extras[f"per_step_ms_b{nb}"] = None
+            print(f"# batch{nb} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     kind = jax.devices()[0].device_kind

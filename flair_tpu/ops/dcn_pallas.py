@@ -412,6 +412,20 @@ def deform_conv2d_tile(
         ],
     )
 
+    if ablate == "prep":
+        # time the XLA-side preparation alone (no pallas dispatch): forces
+        # lanes()/anchors/xh to compute via full reductions, returns a
+        # correctly-shaped dummy
+        tot = (ry_b.sum() + rx_b.sum() + mw_b.sum() + wall.sum()
+               + xh[0, 0, 0, 0].astype(jnp.float32)
+               + anchors.astype(jnp.float32).sum())
+        out = jnp.broadcast_to(
+            tot.astype(dtp), (n_steps, npixb, cout))
+        out = (out.reshape(b, nty, ntx_t, ty, tx, cout)
+                  .transpose(0, 1, 3, 2, 4, 5)
+                  .reshape(b, h, w, cout)).astype(x.dtype)
+        return out if bias is None else out + bias.astype(out.dtype)
+
     kernel = functools.partial(
         _dcn_tile_kernel,
         ntb=ntb, a=a, ga=ga, kk=kk, pty=pty, ptx=ptx, xpack=xpack,

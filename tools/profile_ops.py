@@ -152,7 +152,7 @@ if sel("ablate"):
         mask = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, h, g, kk),
                                                 jnp.float32))
         wgt = jax.random.normal(ks[4], (3, 3, cin, cout), jnp.bfloat16) * 0.05
-        for ab in ("", "empty", "nodma", "nobuild", "onedot"):
+        for ab in ("", "empty", "prep", "nodma", "nobuild", "onedot"):
             name = f"dcn_tile {h}^2 cin{cin} ablate={ab or 'none'}"
             try:
                 timeit(name,
