@@ -343,25 +343,30 @@ def deform_conv2d_tile(
     # bit-exact).
     import numpy as np
 
-    m_idx = np.arange(r).reshape(ty, tx, ga, kk)
-    m_of_l = np.transpose(m_idx, (3, 0, 1, 2)).reshape(r)
-    p_onehot = np.zeros((r, r), np.float32)
-    p_onehot[m_of_l, np.arange(r)] = 1.0
-    perm = jnp.asarray(p_onehot)
+    # single permute for BOTH anchors: m = (ty, tx, g=(a,ga), kk) →
+    # ℓ = (a, kk, ty, tx, ga); the anchor split falls out of the output
+    # reshape, so each tensor pays ONE transpose chain and ONE dot (the
+    # old per-anchor variant paid two of each plus a stack copy)
+    m_idx = np.arange(tpix * g * kk).reshape(ty, tx, a, ga, kk)
+    m_of_l = np.transpose(m_idx, (2, 4, 0, 1, 3)).reshape(a * r)
+    p_onehot = np.zeros((tpix * g * kk, a * r), np.float32)
+    p_onehot[m_of_l, np.arange(a * r)] = 1.0
 
     def lanes(v, add_k):  # v: (B,H,W,G,K) -> (n_steps, ntb*a, R)
-        per_a = []
-        for ai in range(a):
-            va = v[:, :, :, ai * ga:(ai + 1) * ga, :].reshape(
-                b, nty, ty, ntx_t, tx, ga * kk)
-            va = va.transpose(0, 1, 3, 2, 4, 5).reshape(
-                b * nty * ntx_t, ty * tx * ga * kk)
-            per_a.append(lax.dot_general(
-                va, perm, (((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGH))
-        v2 = jnp.stack(per_a, axis=1)          # (n_tiles, a, R), (k,p,g)
+        # bf16 values ride a bf16 one-hot at default precision (exact
+        # pass-through); f32 coordinates need Precision.HIGH (bf16_3x
+        # represents every f32 input exactly: 3×8 mantissa bits ≥ 24)
+        pm = jnp.asarray(p_onehot, v.dtype)
+        prec = (lax.Precision.DEFAULT if v.dtype == jnp.bfloat16
+                else lax.Precision.HIGH)
+        va = v.reshape(b, nty, ty, ntx_t, tx, g * kk)
+        va = va.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b * nty * ntx_t, tpix * g * kk)
+        v2 = lax.dot_general(
+            va, pm, (((1,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=v.dtype)    # (n_tiles, (a, R)) (k,p,g)
         if add_k is not None:
-            v2 = v2 + jnp.repeat(add_k, tpix * ga)
+            v2 = v2 + jnp.tile(jnp.repeat(add_k, tpix * ga), a)
         return v2.reshape(n_steps, ntb * a, r)
 
     oy = offset[..., 0].astype(cdt)
@@ -373,8 +378,10 @@ def deform_conv2d_tile(
     ax_s = (ax * xpack).reshape(n_steps, ntb, a)   # back to real pixels
     ry_b = sy - ay_s.reshape(n_steps, ntb * a, 1).astype(cdt)
     rx_b = sx - ax_s.reshape(n_steps, ntb * a, 1).astype(cdt)
-    mw_b = (lanes(mask.astype(cdt), None) if mask is not None
-            else jnp.ones((n_steps, ntb * a, r), cdt))
+    # modulation rides bf16: it only ever multiplies into the bf16 w2
+    # product, and halving its bytes halves its transpose/permute cost
+    mw_b = (lanes(mask.astype(jnp.bfloat16), None) if mask is not None
+            else jnp.ones((n_steps, ntb * a, r), jnp.bfloat16))
 
     # full per-tap conv weight, anchor-split on input channels and
     # duplicated per packing parity: wall[(a,k), par·Ca + c, e]
