@@ -73,10 +73,11 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _LAST = os.path.join(_HERE, ".bench_last.json")
 
 # PERF.md cost model: practical floor of the tile-DCN formulation per
-# guided 512²/10f step ≈ 60·(60-80ms) + 60·(~25ms) + flow_warp ~0.4s +
-# convs/attn ~0.4s ≈ 5.5 s. Revise when the kernel sweep moves the
-# per-call floor.
-FORMULATION_FLOOR_MS = 5500.0
+# guided 512²/10f step. Round-3 measured per-call floors: 60·~45ms @512²
+# (52 measured, ~7 recoverable via the documented pixel-major coordinate
+# layout) + 60·~4ms @256² + flow_warp ~0.65s + convs/attn/update ~1.0s
+# ≈ 4.6 s. Revise when the kernel levers move the per-call floor.
+FORMULATION_FLOOR_MS = 4600.0
 
 SERVING_STEPS = int(os.environ.get("BENCH_NSTEPS", "25"))
 
