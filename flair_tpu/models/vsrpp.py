@@ -318,12 +318,20 @@ class _PropStep(nn.Module):
         # conv at runtime for that frame — identical output (zeros), ~10%
         # of the per-step DCN cost at win=10
         def _do_align(mod):
-            cond_n1 = flow_warp(prop_n1, flow_n1)
             use_n2 = (idx > 1).astype(flow_n1.dtype)
             flow_n2 = use_n2[..., None, None, None] * (
                 flow_n1 + flow_warp(flow_n2_in, flow_n1)
             )
-            cond_n2 = flow_warp(prop_n2, flow_n2)
+            # warp both propagated feature sets in ONE batched gather
+            # (identical math to two flow_warp calls — per-batch-element
+            # independent): halves the feature-warp launch/fixed cost,
+            # which profile_step showed dominating the 0.69 s/step
+            # flow_warp bucket
+            both = flow_warp(
+                jnp.concatenate([prop_n1, prop_n2], axis=0),
+                jnp.concatenate([flow_n1, flow_n2], axis=0),
+            )
+            cond_n1, cond_n2 = jnp.split(both, 2, axis=0)
             cond = jnp.concatenate(
                 [cond_n1, feat_current, cond_n2], axis=-1)
             packed = jnp.concatenate([prop_n1, prop_n2], axis=-1)
