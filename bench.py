@@ -8,17 +8,25 @@ it — the two-program pair (jitted denoiser forward + jitted guidance
 update, flair_tpu.diffusion.sampler.guided_sample_steps) — at the demo
 geometry (512², 10 frames, scripts/video_sample.py:202-203,361-368),
 converted to frames/s for the 25-step respaced guided DDIM serving config
-(``--sampler ddim --steps 25``; respacing per respace.py:23-31):
+(``--sampler ddim --steps 25``; respacing per respace.py:23-31).
 
-- ``value``             frames/s = frames / (25 · per_step_ddim)
-- ``per_step_ms``       one guided step, η-DDIM update (serving path)
-- ``fps_ddpm100``       the same step under the reference's 100-step DDPM
+The HEADLINE is the demo-equivalent configuration: the reference demo
+always applies the CodeFormer face prior inside the guided window
+(scripts/video_sample.py:446-479, gaussian_diffusion.py:471-496), so
+``value`` blends the face-window step over the schedule using the
+pipeline's own tau arithmetic (pipeline.video.scale_tau: face fusion
+active for t ∈ [τ, t_start]). If the face variant fails to measure, the
+headline falls back to the face-off number and the unit SAYS so.
+
+- ``value``             frames/s = frames / (25 · blended per-step), face on
+- ``per_step_ms``       one face-off guided step, η-DDIM update
+- ``per_step_ms_face``  step inside the face window (+ CodeFormer +
+                        ParseNet + affine crop/paste on device)
+- ``value_noface``      the face-off headline (r1-r3 continuity)
+- ``fps_ddpm100``       face-off step under the reference's 100-step DDPM
                         schedule (round-1/2 continuity metric)
-- ``per_step_ms_face``  step inside the face window (τ..t_start):
-  + CodeFormer + ParseNet + affine crop/paste on device
-  (gaussian_diffusion.py:471-496 path); ``value_face`` blends it over the
-  25-step schedule (face fusion active for t ∈ [τ, t_start], τ=1)
-- ``per_step_ms_blur``  BlurUNet (gaussian) + pseudoSR consistency
+- ``per_step_ms_blur``  BlurUNet (gaussian) + pseudoSR consistency step
+- ``value_blur``        gaussian-task frames/s (face prior off — noted)
 - ``fps_batch{N}``      N independent windows restored concurrently
 
 Resilience (VERDICT r2 #1/#5): this machine's axon TPU tunnel dies for
@@ -196,10 +204,16 @@ def _bicubic_step(size, frames, use_face, batch=1):
         cross_frame_module=True, dtype=jnp.bfloat16,
         **_dcn_kwargs(),
     )
+    from flair_tpu.pipeline.video import TASK_CONFIGS, scale_tau
+
     d = make_task_diffusion("x8_bicubic", "100")
     d_ddim = make_task_diffusion("x8_bicubic", f"ddim{SERVING_STEPS}")
     cfg = GuidanceConfig(use_aux=use_face, rho=0.85, w=0.85)
-    cfg_ddim = GuidanceConfig(use_aux=use_face, rho=0.85, w=0.85, tau=1)
+    # tau via the pipeline's own schedule arithmetic (demo tau=5 at 100
+    # steps, video_sample.py:521-532, rescaled to the serving schedule)
+    cfg_ddim = GuidanceConfig(
+        use_aux=use_face, rho=0.85, w=0.85,
+        tau=scale_tau(TASK_CONFIGS["x8_bicubic"].tau, SERVING_STEPS))
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(
         key, (batch, frames, size, size, 3), jnp.float32) * 2 - 1
@@ -234,7 +248,10 @@ def _bicubic_step(size, frames, use_face, batch=1):
             ),
             dtype=jnp.bfloat16,
         )
-        pn = ParseNet()
+        # bf16 like the CLI production face stack (cli.build_face_stack);
+        # f32 here made the bench's face delta pay a dtype premium the
+        # pipeline doesn't (VERDICT r3 #4)
+        pn = ParseNet(dtype=jnp.bfloat16)
         face = jnp.zeros((frames, size, size, 3), jnp.float32)
         cf_params = _rand_params(jax.eval_shape(
             lambda k, f: cf.init(k, f, w=1.0, adain=True), key, face))
@@ -490,6 +507,7 @@ def _child_measure(size, frames, iters, overhead) -> int:
     fn = args = make_step = None
     _gc()
 
+    fps_face = None
     if not os.environ.get("BENCH_SKIP_FACE"):
         try:
             mf, _ = _bicubic_step(size, frames, use_face=True)
@@ -500,12 +518,18 @@ def _child_measure(size, frames, iters, overhead) -> int:
                   file=sys.stderr)
             tface = _time_step(f2, a2, max(2, iters // 2), overhead)
             extras["per_step_ms_face"] = round(tface * 1e3, 2)
-            # production x8 serving runs the face prior for t ∈ [τ=1,
-            # t_start=steps−1] → all but one step uses the face program
-            nface = SERVING_STEPS - 1
-            blended = (nface * tface + 1 * per_step) / SERVING_STEPS
-            extras["value_face"] = round(
-                frames / (blended * SERVING_STEPS), 4)
+            # demo-equivalent blend: the face prior runs for t ∈ [τ,
+            # t_start=steps−1], τ from the pipeline's own schedule
+            # arithmetic (scale_tau — same rescale the CLI applies)
+            from flair_tpu.pipeline.video import TASK_CONFIGS, scale_tau
+
+            tau = scale_tau(TASK_CONFIGS["x8_bicubic"].tau, SERVING_STEPS)
+            nface = (SERVING_STEPS - 1) - tau + 1
+            blended = (nface * tface
+                       + (SERVING_STEPS - nface) * per_step) / SERVING_STEPS
+            fps_face = round(frames / (blended * SERVING_STEPS), 4)
+            extras["value_face"] = fps_face
+            extras["face_steps_per_window"] = nface
             f2 = a2 = mf = None
             _gc()
         except Exception as e:  # noqa: BLE001
@@ -522,8 +546,12 @@ def _child_measure(size, frames, iters, overhead) -> int:
             float(f3(*a3))
             print(f"# blur compile+warmup: {time.time()-t0:.1f}s",
                   file=sys.stderr)
-            extras["per_step_ms_blur"] = round(
-                _time_step(f3, a3, max(2, iters // 2), overhead) * 1e3, 2)
+            tblur = _time_step(f3, a3, max(2, iters // 2), overhead)
+            extras["per_step_ms_blur"] = round(tblur * 1e3, 2)
+            # gaussian-task serving fps (VERDICT r3 #5); face prior OFF —
+            # the face program cost is UNet-independent, see value_face
+            extras["value_blur"] = round(
+                frames / (tblur * SERVING_STEPS), 4)
             f3 = a3 = None
             _gc()
         except Exception as e:  # noqa: BLE001
@@ -567,12 +595,18 @@ def _child_measure(size, frames, iters, overhead) -> int:
     # available to the reference, so scale its denominator to the same
     # schedule — schedule choice alone cannot move this ratio
     a100_fps = 0.1 * 100.0 / SERVING_STEPS
+    # headline = the demo-equivalent (face prior ON) configuration; only
+    # if the face variant failed to measure does the face-off number
+    # stand in — and then the unit says so (VERDICT r3 missing #3)
+    headline = fps_face if fps_face is not None else round(fps, 4)
+    face_note = "face prior on" if fps_face is not None else "face prior OFF"
     result = {
         "metric": "restored_frames_per_sec_per_chip",
-        "value": round(fps, 4),
+        "value": headline,
         "unit": (f"frames/s ({size}px, {SERVING_STEPS}-step guided DDIM "
-                 f"window, {frames} frames)"),
-        "vs_baseline": round(fps / a100_fps, 3),
+                 f"window, {frames} frames, {face_note})"),
+        "vs_baseline": round(headline / a100_fps, 3),
+        "value_noface": round(fps, 4),
         "config": _bench_config(),
         "per_step_ms": round(per_step * 1e3, 2),
         "step_tflops": round(flops / 1e12, 2) if flops else None,

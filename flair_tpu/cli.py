@@ -293,8 +293,9 @@ def main(argv=None) -> int:
         # default guidance windows (tau, demo defaults video_sample.py:499-556)
         # are stated in 100-respaced-step units; keep the same FRACTION of the
         # trajectory when the user respaces (e.g. ddim25 → tau 5 → 1)
-        cfg = dataclasses.replace(
-            cfg, tau=max(1, round(cfg.tau * d.num_timesteps / 100)))
+        from .pipeline.video import scale_tau
+
+        cfg = dataclasses.replace(cfg, tau=scale_tau(cfg.tau, d.num_timesteps))
     model, params = build_model(args.task, args.checkpoint,
                                 exact_dcn=args.exact_dcn)
     wrap = (

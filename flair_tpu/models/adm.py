@@ -26,7 +26,7 @@ from .common import Conv2d, Dense, GroupNorm32, silu
 from .registry import register_model
 from .spynet import SPyNet
 from .temporal import TemporalAttention
-from .vsrpp import BasicVSRPP
+from .vsrpp import BasicVSRPP, compose_second_order_flows
 
 Array = jax.Array
 
@@ -110,7 +110,10 @@ class BlurUNet(nn.Module):
                     l2 = lq01[:, 1:].reshape(b * (t - 1), res, res, 3)
                     fwd = spynet(l2, l1).reshape(b, t - 1, res, res, 2)
                     bwd = spynet(l1, l2).reshape(b, t - 1, res, res, 2)
-                    flows[res] = (fwd, bwd)
+                    # second-order composition is flow-only → hoist it out
+                    # of every VSR++ scan (shared by all sites at this res)
+                    flows[res] = (fwd, bwd) + compose_second_order_flows(
+                        fwd, bwd)
         if compute_flows_only:
             return flows
 
@@ -172,13 +175,15 @@ class BlurUNet(nn.Module):
         def maybe_vsrpp(h, ds, name):
             if ds in self.rnn_resolutions and cross:
                 res = h.shape[2]
-                fwd, bwd = flows[res]
+                fl = flows[res]
                 h = VP(
                     h.shape[-1], deform_groups=self.deform_groups,
                     dcn_patch_size=self.dcn_patch_size,
                     dcn_impl=self.dcn_impl,
                     dtype=self.dtype, name=name,
-                )(h, fwd, bwd, vsrpp_weights)
+                )(h, fl[0], fl[1], vsrpp_weights,
+                  flows_forward2=fl[2] if len(fl) > 2 else None,
+                  flows_backward2=fl[3] if len(fl) > 3 else None)
             return h
 
         h = x.astype(self.dtype)

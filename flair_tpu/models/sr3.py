@@ -30,7 +30,7 @@ from .common import Conv2d, Dense, GroupNorm32, silu
 from .registry import register_model
 from .spynet import SPyNet
 from .temporal import TemporalAttention, TemporalWrapper2
-from .vsrpp import BasicVSRPP
+from .vsrpp import BasicVSRPP, compose_second_order_flows
 
 Array = jax.Array
 
@@ -88,14 +88,16 @@ class SR3LevelBlock(nn.Module):
                 x, out, emb
             )
         if self.vsrpp and enable_cross_frames:
-            fwd, bwd = flows
+            fwd, bwd = flows[0], flows[1]
             out = BasicVSRPP(
                 c, max_residue_magnitude=5.0,
                 deform_groups=self.deform_groups,
                 dcn_patch_size=self.dcn_patch_size,
                 dcn_impl=self.dcn_impl,
                 dtype=self.dtype, name="vsrpp",
-            )(x, fwd, bwd, vsrpp_weights)
+            )(x, fwd, bwd, vsrpp_weights,
+              flows_forward2=flows[2] if len(flows) > 2 else None,
+              flows_backward2=flows[3] if len(flows) > 3 else None)
             x = TemporalWrapper2(c, dtype=self.dtype, name="vsrpp_gate")(x, out, emb)
         return x
 
@@ -183,7 +185,10 @@ class BicubicUNet(nn.Module):
                     l2 = lq[:, 1:].reshape(b * (t - 1), res, res, 3)
                     fwd = spynet(l2, l1).reshape(b, t - 1, res, res, 2)
                     bwd = spynet(l1, l2).reshape(b, t - 1, res, res, 2)
-                    flows[res] = (fwd, bwd)
+                    # second-order composition is flow-only → hoist it out
+                    # of every VSR++ scan (shared by all sites at this res)
+                    flows[res] = (fwd, bwd) + compose_second_order_flows(
+                        fwd, bwd)
         if compute_flows_only:
             return flows
 

@@ -78,6 +78,56 @@ def _tile_config(pty: int, ca: int = 64):
 Array = jax.Array
 
 
+def compose_second_order_flows(
+    flows_forward: Array, flows_backward: Array
+) -> tuple[Array, Array]:
+    """Window-constant second-order flows for both propagation branches,
+    composed OUTSIDE the per-frame scan (unet.py:466-476:
+    ``flow_n2 = flow_n1 + flow_warp(flow_n2, flow_n1)``).
+
+    The composition depends only on the optical flows — constant across a
+    window's sampler steps and identical for every VSR++ site at the same
+    resolution — yet the round-3 build recomputed it as T sequential
+    2-channel warps inside EVERY branch scan of EVERY site of EVERY step
+    (120 small-row gathers per guided step at 512²). Here it is one
+    batched warp per branch; precompute it once per window via the model
+    ``flows`` dict (sr3.py/adm.py store ``(fwd, bwd, fwd2, bwd2)``) and
+    the scans do zero flow-composition work.
+
+    ``flows_*``: (B, T-1, H, W, 2). Returns (fwd2, bwd2), each
+    (B, T, H, W, 2) frame-indexed: ``bwd2[:, j]`` is the backward
+    branch's composed flow at frame j, ``fwd2[:, j]`` the forward
+    branch's; zero where the branch has fewer than two predecessors
+    (the reference's ``use_n2`` gate). Bit-identical to the in-scan
+    composition (per-batch-element-independent gather; multiplication
+    by the gate commutes)."""
+    b, tm1, h, w, _ = flows_forward.shape
+    t = tm1 + 1
+    dt = flows_forward.dtype
+    z1 = jnp.zeros((b, 1, h, w, 2), dt)
+    z2 = jnp.zeros((b, 2, h, w, 2), dt)
+    j = jnp.arange(t)
+
+    def comp(n1, n2, gate):
+        warped = flow_warp(
+            n2.reshape(b * t, h, w, 2), n1.reshape(b * t, h, w, 2)
+        ).reshape(b, t, h, w, 2)
+        return gate.reshape(1, t, 1, 1, 1).astype(dt) * (n1 + warped)
+
+    bwd, fwd = flows_backward, flows_forward
+    bwd2 = comp(
+        jnp.concatenate([bwd, z1], axis=1),
+        jnp.concatenate([bwd[:, 1:], z2], axis=1),
+        j < t - 2,
+    )
+    fwd2 = comp(
+        jnp.concatenate([z1, fwd], axis=1),
+        jnp.concatenate([z2, fwd[:, :-1]], axis=1),
+        j > 1,
+    )
+    return fwd2, bwd2
+
+
 class ResidualBlockNoBN(nn.Module):
     """mmedit ResidualBlockNoBN: x + conv(relu(conv(x)))."""
 
@@ -290,14 +340,14 @@ class _PropStep(nn.Module):
     @nn.compact
     def __call__(self, carry, xs):
         prop_n1, prop_n2 = carry
-        feat_current, extra, flow_n1, flow_n2_in, weight_t, idx = xs
+        feat_current, extra, flow_n1, flow_n2, weight_t, idx = xs
         # flows/weights arrive component-packed (B, 2|1, H, W) — a trailing
         # size-2/1 lane dim on the scan's stacked xs makes XLA materialize
         # 64-128×-padded remat copies (measured: two 2.5 G copies of
         # f32[T,B,H,W,2] per step at 512²); unpacking per step is a ~2 MB
         # relayout instead
         flow_n1 = jnp.moveaxis(flow_n1, 1, -1)
-        flow_n2_in = jnp.moveaxis(flow_n2_in, 1, -1)
+        flow_n2 = jnp.moveaxis(flow_n2, 1, -1)
         weight_t = jnp.moveaxis(weight_t, 1, -1)
         c = self.features
 
@@ -318,10 +368,9 @@ class _PropStep(nn.Module):
         # conv at runtime for that frame — identical output (zeros), ~10%
         # of the per-step DCN cost at win=10
         def _do_align(mod):
-            use_n2 = (idx > 1).astype(flow_n1.dtype)
-            flow_n2 = use_n2[..., None, None, None] * (
-                flow_n1 + flow_warp(flow_n2_in, flow_n1)
-            )
+            # flow_n2 arrives PRE-COMPOSED (second-order composition is
+            # window-constant — compose_second_order_flows), so the scan
+            # body does no flow warping beyond the feature warp below
             # warp both propagated feature sets in ONE batched gather
             # (identical math to two flow_warp calls — per-batch-element
             # independent): halves the feature-warp launch/fixed cost,
@@ -379,6 +428,8 @@ class BasicVSRPP(nn.Module):
         flows_forward: Array,
         flows_backward: Array,
         weight: Optional[Array] = None,
+        flows_forward2: Optional[Array] = None,
+        flows_backward2: Optional[Array] = None,
     ) -> Array:
         b, t, h, w, c = hidden.shape
         if weight is None:
@@ -393,8 +444,14 @@ class BasicVSRPP(nn.Module):
             weight = jnp.einsum("vw,bthwc->bthvc", rx, weight)
 
         zeros_flow = jnp.zeros((b, 1, h, w, 2), hidden.dtype)
-        zeros2 = jnp.zeros((b, 2, h, w, 2), hidden.dtype)
         idxs = jnp.arange(t)
+        if flows_forward2 is None or flows_backward2 is None:
+            # not precomputed (direct callers / legacy 2-tuple flows):
+            # compose here — still one batched warp per branch, OUTSIDE
+            # the frame scan (the production path precomputes these once
+            # per window in the model flows dict)
+            flows_forward2, flows_backward2 = compose_second_order_flows(
+                flows_forward, flows_backward)
 
         # scan xs with a trailing 2/1-wide dim are stored component-packed
         # (T, B, 2|1, H, W) — see _PropStep.__call__ for why
@@ -411,16 +468,14 @@ class BasicVSRPP(nn.Module):
 
         # --- backward branch: frames T-1 → 0 --------------------------------
         # flow_n1 at position i (frame j=T-1-i) is flows_backward[:, j];
-        # flow_n2 is flows_backward[:, j+1] (zero-padded past the end).
+        # flow_n2 is the PRE-COMPOSED second-order flow for frame j.
         fb = jnp.moveaxis(flows_backward, 1, 0)  # (T-1, B, H, W, 2)
         # step i processes frame j = T-1-i; flow_n1 = flows_backward[j]
-        # (zeros at i=0), flow_n2 = flows_backward[j+1] (zeros at i<2)
+        # (zeros at i=0)
         fb_n1 = jnp.concatenate(
             [fb, jnp.moveaxis(zeros_flow, 1, 0)], axis=0
         )[::-1]
-        fb_n2 = jnp.concatenate(
-            [fb[1:], jnp.moveaxis(zeros2, 1, 0)], axis=0
-        )[::-1]
+        fb_n2 = jnp.moveaxis(flows_backward2, 1, 0)[::-1]
         feats_rev = jnp.moveaxis(hidden, 1, 0)[::-1]
         w_rev = jnp.moveaxis(weight, 1, 0)[::-1]
         extra_empty = jnp.zeros((t, b, h, w, 0), hidden.dtype)
@@ -443,7 +498,7 @@ class BasicVSRPP(nn.Module):
         # --- forward branch: frames 0 → T-1 ---------------------------------
         ff = jnp.moveaxis(flows_forward, 1, 0)
         ff_n1 = jnp.concatenate([jnp.moveaxis(zeros_flow, 1, 0), ff], axis=0)
-        ff_n2 = jnp.concatenate([jnp.moveaxis(zeros2, 1, 0), ff[:-1]], axis=0)
+        ff_n2 = jnp.moveaxis(flows_forward2, 1, 0)
         feats_fwd = jnp.moveaxis(hidden, 1, 0)
         extra_fwd = jnp.moveaxis(bwd, 1, 0)
         w_fwd = jnp.moveaxis(weight, 1, 0)

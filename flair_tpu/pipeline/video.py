@@ -95,6 +95,16 @@ TASK_CONFIGS = {
 }
 
 
+def scale_tau(tau: int, num_timesteps: int) -> int:
+    """Rescale a demo tau (stated in 100-respaced-step units,
+    video_sample.py:499-556) to a respaced schedule, keeping the same
+    FRACTION of the trajectory inside the face-prior window — the one
+    place this arithmetic lives (CLI default and bench blend share it)."""
+    if num_timesteps == 100:
+        return tau
+    return max(1, round(tau * num_timesteps / 100))
+
+
 def window_slices(num_frames: int, win: int = FRAME_SLICE_LEN, overlap: int = OVERLAP):
     """(start, length) of each sliding window — more_itertools.windowed with
     step = win−overlap and a SHORT tail window (None-filtered), exactly as

@@ -158,7 +158,7 @@ def run_reference(ref, degraded01, *, factor=FACTOR, w=W):
 
 
 def run_ours(variables, degraded01, *, task="x8_bicubic",
-             factor=FACTOR, w=W):
+             factor=FACTOR, w=W, steps=str(STEPS), sampler="steps"):
     import dataclasses
 
     import jax
@@ -171,7 +171,7 @@ def run_ours(variables, degraded01, *, task="x8_bicubic",
 
     cfg = dataclasses.replace(
         TASK_CONFIGS[task], output_size=SIZE, input_size=SIZE // factor,
-        steps=str(STEPS), w=w, rho=RHO, zeta=ZETA, tau=TAU, noise_level=0.0,
+        steps=steps, w=w, rho=RHO, zeta=ZETA, tau=TAU, noise_level=0.0,
         vsrpp_bg_weight=0.0,
     )
     d = make_task_diffusion(cfg.task, cfg.steps)
@@ -194,10 +194,65 @@ def run_ours(variables, degraded01, *, task="x8_bicubic",
             degraded01, cfg, model_apply, diffusion=d,
             guidance=GuidanceConfig(use_aux=False, w=w, rho=RHO, tau=TAU,
                                     zeta=ZETA, noise_level=0.0),
-            win=WIN, overlap=OV, pad_tail=False,
+            win=WIN, overlap=OV, pad_tail=False, sampler=sampler,
         )
     finally:
         jax.random.normal = normal_orig
+
+
+def make_respace_divergence() -> dict:
+    """VERDICT r3 #6: the serving headline's 4× comes from respacing 100
+    DDPM steps to 25 DDIM steps (respace.py:7-66 sanctions respacing;
+    nothing sanctions it for free). Quantify its quality cost at golden
+    scale: run OUR pipeline from the ARCHIVED x8_s64 weights + input at
+    the reference serving schedule (DDPM-100, deterministic ρ=0 — exactly
+    η=0 DDIM on the 100-step trajectory) and at the bench headline
+    schedule (guided DDIM-25, η=0); archive the DDPM-100 float output and
+    record PSNR(DDIM-25, DDPM-100) so the serving config carries a
+    measured divergence bound (tests/test_goldens.py asserts the floor).
+    """
+    gold = os.path.join(ROOT, "goldens", "x8_s64")
+    if not os.path.exists(os.path.join(gold, "meta.json")):
+        raise SystemExit("x8_s64 goldens missing; run make_goldens first")
+    from flair_tpu.utils.checkpoint import unflatten_params
+
+    meta_x8 = json.load(open(os.path.join(gold, "meta.json")))
+    degraded01 = np.load(os.path.join(gold, "degraded01.npy"))
+    variables = unflatten_params(dict(np.load(os.path.join(gold, "params.npz"))))
+    out_dir = os.path.join(ROOT, "goldens", "respace_x8_s64")
+
+    print("# running DDPM-100 (reference serving schedule)...", file=sys.stderr)
+    ddpm100 = run_ours(variables, degraded01, w=meta_x8["w"],
+                       steps="100", sampler="steps")
+    print("# running guided DDIM-25 (bench headline schedule)...",
+          file=sys.stderr)
+    ddim25 = run_ours(variables, degraded01, w=meta_x8["w"],
+                      steps="ddim25", sampler="ddim")
+
+    from metrics import psnr, ssim
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "ddpm100.npy"), ddpm100.astype(np.float32))
+    meta = {
+        "task": "x8_bicubic",
+        "size": meta_x8["size"], "factor": meta_x8["factor"],
+        "frames": meta_x8["frames"], "win": meta_x8["win"],
+        "overlap": meta_x8["overlap"],
+        "w": meta_x8["w"], "rho": RHO, "zeta": ZETA, "tau": TAU,
+        "weights": "goldens/x8_s64/params.npz (shared archive)",
+        "psnr_ddim25_vs_ddpm100": round(psnr(ddim25, ddpm100), 3),
+        "ssim_ddim25_vs_ddpm100": round(float(ssim(ddim25, ddpm100)), 5),
+        "procedure": ("VERDICT r3 #6: same archived weights/input, "
+                      "restore_video at steps='100' (ρ=0 DDPM ≡ η=0 DDIM "
+                      "on the 100-step trajectory) vs steps='ddim25' "
+                      "sampler='ddim' η=0; PSNR between the two"),
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(json.dumps({k: meta[k] for k in (
+        "psnr_ddim25_vs_ddpm100", "ssim_ddim25_vs_ddpm100")}))
+    print(f"wrote {out_dir}", file=sys.stderr)
+    return meta
 
 
 def build_reference_blur_unet():
@@ -446,6 +501,11 @@ def main() -> int:
         make_gaussian_golden(check)
     if task in ("jpeg", "all"):
         make_gaussian_golden(check, jpeg=True)
+    if task == "respace":
+        # divergence golden reuses the archived x8_s64 weights — run AFTER
+        # (or without regenerating) the x8 golden
+        make_respace_divergence()
+        return 0
     if task not in ("x8", "x16", "all"):
         return 0
 
@@ -511,6 +571,8 @@ def main() -> int:
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
         print(f"wrote {out_dir}", file=sys.stderr)
+    if task == "all":
+        make_respace_divergence()
     return 0
 
 

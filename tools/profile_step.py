@@ -37,13 +37,22 @@ if tpu_lock_needed() and acquire_tpu_lock(timeout_s=3600.0) is None:
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 TOP_N = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+# variant: 'bicubic' (default) | 'face' (x8 step inside the face window —
+# the demo-equivalent headline config) | 'blur' (gaussian-task step,
+# VERDICT r3 #5 forensics) | 'batch2' (independent-window batching)
+VARIANT = sys.argv[4] if len(sys.argv) > 4 else "bicubic"
 
 
 def main() -> int:
-    from bench import _bicubic_step
+    from bench import _bicubic_step, _blur_step
 
-    make_step, _ = _bicubic_step(SIZE, FRAMES, use_face=False)
-    fn, args = make_step("ddim")
+    if VARIANT == "blur":
+        fn, args, _ = _blur_step(SIZE, FRAMES)
+    else:
+        make_step, _ = _bicubic_step(
+            SIZE, FRAMES, use_face=VARIANT == "face",
+            batch=2 if VARIANT == "batch2" else 1)
+        fn, args = make_step("ddim")
     t0 = time.time()
     float(fn(*args))
     print(f"# compile+warmup: {time.time() - t0:.1f}s", flush=True)
