@@ -167,6 +167,35 @@ class ResidualBlocksWithInputConv(nn.Module):
         return x
 
 
+class _PermutedOutConv(nn.Module):
+    """3×3 SAME conv whose OUTPUT channels are permuted at weight-apply
+    time. Param tree identical to ``nn.Conv`` (kernel/bias, zero-init), so
+    converted reference weights load unchanged; permuting the kernel
+    columns instead of the activation makes the downstream y/x offset
+    planes contiguous (a stride-2 slice of a 512²×432ch f32 activation is
+    a ~150 MB relayout per plane; permuting the (3,3,Cin,432) kernel is
+    free). Output[..., e] ≡ nn.Conv output[..., perm[e]] exactly."""
+
+    features: int
+    perm: tuple  # static output-channel permutation
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.param(
+            "kernel", nn.initializers.zeros,
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        perm = jnp.asarray(self.perm, jnp.int32)
+        k = jnp.take(k, perm, axis=3).astype(self.dtype)
+        bias = jnp.take(bias, perm, axis=0).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
+
+
 class SecondOrderDeformableAlignment(nn.Module):
     """Flow-guided second-order deformable alignment (unet.py:598-661).
 
@@ -215,29 +244,40 @@ class SecondOrderDeformableAlignment(nn.Module):
                 dtype=self.dtype, param_dtype=jnp.float32, name=f"offset_conv{i}",
             )(h)
             h = leaky_relu(h, 0.1)
-        out = nn.Conv(
-            27 * g // 2 * 2, (3, 3), padding="SAME",
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype, param_dtype=jnp.float32, name="offset_out",
-        )(h)
+        # offset_out channels natively interleave (group, tap, y|x) per
+        # anchor half (reference layout, unet.py:636-645); permute the conv
+        # WEIGHT so the y/x planes come out contiguous — the (B,H,W,G,K,2)
+        # stack + two stride-2 slices the DCN coordinate prep paid per call
+        # become free contiguous slices (split offsets feed the tile kernel
+        # directly; the stacked form is rebuilt only for the fallbacks)
+        import numpy as _np
+
+        nch = 27 * g  # = (g/2 groups)·9 taps·2 comps per half + 9g mask
+        ko = 9 * (g // 2)
+        base_c = _np.arange(ko) * 2          # y channels within one half
+        perm = tuple(_np.concatenate([
+            base_c, base_c + 1,              # o1: y block, x block
+            2 * ko + base_c, 2 * ko + base_c + 1,  # o2: y block, x block
+            _np.arange(4 * ko, nch),         # mask block unchanged
+        ]).tolist())
+        out = _PermutedOutConv(
+            nch, perm, dtype=self.dtype, name="offset_out")(h)
         b, hh, ww, _ = out.shape
-        o1, o2, mask = jnp.split(out, 3, axis=-1)  # each 9g channels
 
-        def to_offsets(o: Array, flow: Array) -> Array:
-            # o: (B,H,W, 2*9*(g/2)) → (B,H,W, g/2, 9, 2) in (dy, dx)
-            res = self.max_residue_magnitude * jnp.tanh(
-                o.astype(jnp.float32)
-            ).reshape(b, hh, ww, g // 2, 9, 2)
-            base = jnp.stack(
-                [flow[..., 1], flow[..., 0]], axis=-1
-            ).astype(jnp.float32)[:, :, :, None, None, :]
-            return res + base
+        def res_plus(o: Array, flow_c: Array) -> Array:
+            # o: (B,H,W,ko) one component plane → (B,H,W,g/2,9) + flow
+            r = self.max_residue_magnitude * jnp.tanh(
+                o.astype(jnp.float32)).reshape(b, hh, ww, g // 2, 9)
+            return r + flow_c.astype(jnp.float32)[:, :, :, None, None]
 
-        off = jnp.concatenate(
-            [to_offsets(o1, flow_1), to_offsets(o2, flow_2)], axis=3
-        )  # (B,H,W,g,9,2)
-        mask = jax.nn.sigmoid(mask.astype(jnp.float32)).reshape(b, hh, ww, g, 9)
+        off_y = jnp.concatenate(
+            [res_plus(out[..., :ko], flow_1[..., 1]),
+             res_plus(out[..., 2 * ko:3 * ko], flow_2[..., 1])], axis=3)
+        off_x = jnp.concatenate(
+            [res_plus(out[..., ko:2 * ko], flow_1[..., 0]),
+             res_plus(out[..., 3 * ko:4 * ko], flow_2[..., 0])], axis=3)
+        mask = jax.nn.sigmoid(
+            out[..., 4 * ko:].astype(jnp.float32)).reshape(b, hh, ww, g, 9)
 
         weight = self.param(
             "weight",
@@ -301,10 +341,12 @@ class SecondOrderDeformableAlignment(nn.Module):
             tile_t, patch_p, ntb_n, lane = _tile_config(
                 pty, x.shape[-1] // 2)
             y = deform_conv2d_tile_ad(
-                x.astype(self.dtype), anchor, off, weight, bias,
+                x.astype(self.dtype), anchor, (off_y, off_x), weight, bias,
                 mask is None, tile_t, patch_p, ntb_n, lane, mask=mask,
             )
             return y.astype(x.dtype)
+        # fallback paths take stacked (…, 2) offsets
+        off = jnp.stack([off_y, off_x], axis=-1)
         ps = self._patch_size()
         if ps is not None:
             # fast path: one (ps,ps,C/2) patch per (pixel, flow half) anchored

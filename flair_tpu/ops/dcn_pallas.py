@@ -233,7 +233,11 @@ def deform_conv2d_tile(
       x:           (B, H, W, Cin); computed in bf16.
       anchor_flow: (B, H, W, A, 2) per-anchor base flow, (dy, dx); deform
                    groups split into A contiguous blocks (FLAIR: A=2).
-      offset:      (B, H, W, G, K, 2) FULL sample offsets (flow + residue).
+      offset:      FULL sample offsets (flow + residue): either a stacked
+                   (B, H, W, G, K, 2) array, or a tuple (oy, ox) of two
+                   (B, H, W, G, K) arrays — the split form skips the
+                   stack + two stride-2 slices (~0.9 GB HBM round-trips
+                   per 512² call) that the stacked form costs upstream.
       weight:      (3, 3, Cin, Cout) HWIO (conv groups = 1).
       mask:        optional (B, H, W, G, K) modulation (sigmoided).
       tile:        (TY, TX) pixels sharing one patch anchor.
@@ -251,7 +255,11 @@ def deform_conv2d_tile(
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     assert (kh, kw) == (3, 3), "specialised to 3x3 kernels"
-    g = offset.shape[3]
+    oy_r, ox_r = (
+        (offset[0], offset[1]) if isinstance(offset, (tuple, list))
+        else (offset[..., 0], offset[..., 1])
+    )
+    g = oy_r.shape[3]
     a = anchor_flow.shape[3]
     kk = kh * kw
     ca = cin // a
@@ -329,8 +337,6 @@ def deform_conv2d_tile(
     anchors = anchors.reshape(n_steps, 1, ntb * a * 3)
 
     # ---- per-pixel patch-relative sample coordinates --------------------
-    ky = (jnp.repeat(jnp.arange(3), 3).astype(cdt) - 1.0) * dilation  # (K,)
-    kx = (jnp.tile(jnp.arange(3), 3).astype(cdt) - 1.0) * dilation
     # offsets arranged (B,H,W,G,K,2); lane target order is (k, p, g) per
     # (tile, anchor). A direct 8-D transpose to (…, kk, ty, tx, ga) ends
     # in minor dims of 2/4/8 → XLA pads its materialized temp 16×
@@ -352,7 +358,7 @@ def deform_conv2d_tile(
     p_onehot = np.zeros((tpix * g * kk, a * r), np.float32)
     p_onehot[m_of_l, np.arange(a * r)] = 1.0
 
-    def lanes(v, add_k):  # v: (B,H,W,G,K) -> (n_steps, ntb*a, R)
+    def lanes(v):  # v: (B,H,W,G,K) -> (n_steps, ntb*a, R)
         # bf16 values ride a bf16 one-hot at default precision (exact
         # pass-through); f32 coordinates need Precision.HIGH (bf16_3x
         # represents every f32 input exactly: 3×8 mantissa bits ≥ 24)
@@ -365,22 +371,41 @@ def deform_conv2d_tile(
         v2 = lax.dot_general(
             va, pm, (((1,), (0,)), ((), ())), precision=prec,
             preferred_element_type=v.dtype)    # (n_tiles, (a, R)) (k,p,g)
-        if add_k is not None:
-            v2 = v2 + jnp.tile(jnp.repeat(add_k, tpix * ga), a)
         return v2.reshape(n_steps, ntb * a, r)
 
-    oy = offset[..., 0].astype(cdt)
-    ox = offset[..., 1].astype(cdt)
-    sy = lanes(base_y[..., None, None] + oy + pad_y, ky)
-    sx = lanes(base_x[..., None, None] + ox + pad_x, kx)
+    oy = oy_r.astype(cdt)
+    ox = ox_r.astype(cdt)
+    # permute the OFFSETS alone; the (pixel base + tap + padding − anchor)
+    # term is a structured iota table added directly in the permuted
+    # (step, tile·anchor, lane) space. Permuting `base + offset` instead
+    # makes XLA lay the producer fusion out planar (H,W-minor) so the
+    # (16,9)-dim broadcast is cheap, and it then pays a layout-
+    # normalization copy + tiled reshape per tensor per call — measured
+    # 2×(32+30) ms per 512² propagation while, the step's single largest
+    # copy bucket (round-4 trace). The table is integer-valued (≤ Hp), so
+    # it is EXACT in f32, and `offset + table` rounds once where the old
+    # chain ((base+pad)+oy)+ky−ay rounded three times.
+    sh = (n_steps, ntb * a, r)
+    ia3 = lax.broadcasted_iota(jnp.int32, sh, 0)
+    ja3 = lax.broadcasted_iota(jnp.int32, sh, 1)
+    la3 = lax.broadcasted_iota(jnp.int32, sh, 2)
+    k_i = la3 // (tpix * ga)
+    p_i = (la3 % (tpix * ga)) // ga
+    tile_g = (ia3 * (ntb * a) + ja3) // a          # global tile index
+    nty_i = (tile_g // ntx_t) % nty
+    ntx_i = tile_g % ntx_t
     # anchor per (tile, a) broadcast over its R lanes
-    ay_s = ay.reshape(n_steps, ntb, a)
-    ax_s = (ax * xpack).reshape(n_steps, ntb, a)   # back to real pixels
-    ry_b = sy - ay_s.reshape(n_steps, ntb * a, 1).astype(cdt)
-    rx_b = sx - ax_s.reshape(n_steps, ntb * a, 1).astype(cdt)
+    ay_s = ay.reshape(n_steps, ntb * a, 1)
+    ax_s = (ax * xpack).reshape(n_steps, ntb * a, 1)  # real pixels
+    tab_y = ((nty_i * ty + p_i // tx + pad_y - ay_s)
+             + (k_i // 3 - 1) * dilation).astype(cdt)
+    tab_x = ((ntx_i * tx + p_i % tx + pad_x - ax_s)
+             + (k_i % 3 - 1) * dilation).astype(cdt)
+    ry_b = lanes(oy) + tab_y
+    rx_b = lanes(ox) + tab_x
     # modulation rides bf16: it only ever multiplies into the bf16 w2
     # product, and halving its bytes halves its transpose/permute cost
-    mw_b = (lanes(mask.astype(jnp.bfloat16), None) if mask is not None
+    mw_b = (lanes(mask.astype(jnp.bfloat16)) if mask is not None
             else jnp.ones((n_steps, ntb * a, r), jnp.bfloat16))
 
     # full per-tap conv weight, anchor-split on input channels and
@@ -540,17 +565,24 @@ def _tile_ad_bwd(mask_is_none, tile, patch, ntb, lane_slice, res, g):
     x, anchor_flow, offset, weight, bias, mask = res
     ps = min(patch[0], 16)
 
+    def _stack(off):
+        # the patch path takes stacked (…, 2) offsets; gradients flow back
+        # through the stack to the split components automatically
+        return (jnp.stack(off, axis=-1) if isinstance(off, (tuple, list))
+                else off)
+
     if mask_is_none:
         def f(x, anchor_flow, offset, weight, bias):
             return deform_conv2d_patch(
-                x, anchor_flow, offset, weight, bias, patch_size=ps)
+                x, anchor_flow, _stack(offset), weight, bias, patch_size=ps)
 
         _, vjp = jax.vjp(f, x, anchor_flow, offset, weight, bias)
         return vjp(g) + (None,)
 
     def f(x, anchor_flow, offset, weight, bias, mask):
         return deform_conv2d_patch(
-            x, anchor_flow, offset, weight, bias, mask=mask, patch_size=ps)
+            x, anchor_flow, _stack(offset), weight, bias, mask=mask,
+            patch_size=ps)
 
     _, vjp = jax.vjp(f, x, anchor_flow, offset, weight, bias, mask)
     return vjp(g)

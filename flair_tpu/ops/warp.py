@@ -136,6 +136,58 @@ def _bilinear_patch_batched(img: Array, y: Array, x: Array) -> Array:
     return out
 
 
+def _bicubic_patch_batched(img: Array, y: Array, x: Array) -> Array:
+    """Bicubic (Keys a=-0.75) sample with zeros padding as ONE (4,4,C)
+    patch gather per output pixel.
+
+    The tap-loop formulation (16 per-pixel single-element gathers) hits
+    XLA's slow gather-emitter class — ~12 B rows for 3-channel images
+    (PERF.md / mosaic-gather-limits); one whole (4,4,C) patch keeps the
+    gathered rows contiguous. Out-of-image taps contribute zero: the
+    operand is zero-padded by 3 so the 4×4 support of every coordinate
+    whose support touches the image sits at an unclipped start index, and
+    the per-tap bounds tests fold into the weights.
+
+    img (B, H, W, C); y/x (B, Ho, Wo) float coords → (B, Ho, Wo, C).
+    """
+    b, h, w, c = img.shape
+    _, ho, wo = y.shape
+    cdt = jnp.float32
+    y0 = jnp.floor(y.astype(cdt))
+    x0 = jnp.floor(x.astype(cdt))
+    wy = _keys_cubic_weights(y.astype(cdt) - y0)
+    wx = _keys_cubic_weights(x.astype(cdt) - x0)
+    wy = [wy[k] * ((y0 - 1 + k >= 0) & (y0 - 1 + k <= h - 1)) for k in range(4)]
+    wx = [wx[k] * ((x0 - 1 + k >= 0) & (x0 - 1 + k <= w - 1)) for k in range(4)]
+
+    xp = jnp.pad(img, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    # start = (y0 - 1) + 3 ∈ [0, h+2] exactly when the support touches the
+    # image (y0 ∈ [-2, h]); fully-outside coords clip but their weights
+    # are all zero
+    iy = jnp.clip(y0.astype(jnp.int32) + 2, 0, h + 2).reshape(b, ho * wo)
+    ix = jnp.clip(x0.astype(jnp.int32) + 2, 0, w + 2).reshape(b, ho * wo)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4), collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,),
+    )
+    patch = lax.gather(
+        xp, jnp.stack([iy, ix], axis=-1), dn, slice_sizes=(1, 4, 4, c),
+        mode=lax.GatherScatterMode.CLIP,
+    ).reshape(b, ho, wo, 4, 4, c)
+    # same accumulation order and dtype promotion as the tap-loop
+    # (_sample_bicubic): v·wx summed over dx, then ·wy summed over dy
+    out = None
+    for dy in range(4):
+        row = None
+        for dx in range(4):
+            v = patch[..., dy, dx, :] * wx[dx][..., None]
+            row = v if row is None else row + v
+        row = row * wy[dy][..., None]
+        out = row if out is None else out + row
+    return out
+
+
 def grid_sample(
     img: Array,
     grid: Array,
@@ -160,6 +212,8 @@ def grid_sample(
     zero_pad = padding_mode == "zeros"
     if mode == "bilinear" and zero_pad and grid.ndim == 4:
         return _bilinear_patch_batched(img, y, x)
+    if mode == "bicubic" and zero_pad and grid.ndim == 4:
+        return _bicubic_patch_batched(img, y, x)
     sampler = {
         "bilinear": _sample_bilinear,
         "nearest": lambda im, yy, xx, zp: _gather_2d(
@@ -242,18 +296,17 @@ def warp_affine(
         indexing="ij",
     )
 
-    def one(im, A):
-        ia_, ib_, ic_, id2, ie_, if2 = A
-        sx = ia_ * gx + ib_ * gy + ic_
-        sy = id2 * gx + ie_ * gy + if2
-        h, w = im.shape[0], im.shape[1]
-        if mode == "bilinear":
-            v = _sample_bilinear(im, sy, sx, zero_pad=True)
-        elif mode == "bicubic":
-            v = _sample_bicubic(im, sy, sx, zero_pad=True)
-        else:
-            raise ValueError(mode)
-        inb = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
-        return jnp.where(inb[..., None], v, border_value)
-
-    return jax.vmap(one)(img, (ia, ib, ic, id_, ie, if_))
+    # batched sample coordinates (B, Ho, Wo)
+    sx = ia[:, None, None] * gx + ib[:, None, None] * gy + ic[:, None, None]
+    sy = id_[:, None, None] * gx + ie[:, None, None] * gy + if_[:, None, None]
+    h, w = img.shape[1], img.shape[2]
+    # one (2,2|4,4,C) patch gather per pixel — the fast emitter shape; the
+    # per-tap loops (4|16 single-element gathers) are the slow class
+    if mode == "bilinear":
+        v = _bilinear_patch_batched(img, sy, sx)
+    elif mode == "bicubic":
+        v = _bicubic_patch_batched(img, sy, sx)
+    else:
+        raise ValueError(mode)
+    inb = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+    return jnp.where(inb[..., None], v, border_value)

@@ -96,6 +96,50 @@ def main() -> int:
     for name, ms in sorted(by_op.items(), key=lambda kv: -kv[1])[:TOP_N]:
         print(f"{ms:9.1f} ms  {100 * ms / max(total, 1e-9):5.1f}%  "
               f"{name[:110]}", flush=True)
+
+    # leaf-category aggregation: while/cond/copy-start events are WRAPPERS
+    # or async envelopes whose duration double-counts their contents —
+    # exclude them, bucket the rest by HLO op kind (the r3 PERF trace
+    # methodology); this is the view that names the next target
+    cats: dict[str, float] = defaultdict(float)
+    leaf_total = 0.0
+    for name, ms in by_op.items():
+        n = name.lstrip("%")
+        if n.startswith(("while", "cond", "copy-start", "copy-done")):
+            continue
+        kind = n.split(" = ", 1)[0].rstrip("0123456789.").rstrip("-_.")
+        if "deform_conv2d_tile" in n:
+            kind = "dcn-custom-call"
+        elif kind.startswith("fusion"):
+            kind = "fusion"
+        elif "gather" in kind:
+            kind = "gather"
+        elif kind.startswith(("convolution", "conv")):
+            kind = "convolution"
+        elif kind.startswith(("copy", "bitcast", "transpose", "reshape",
+                              "slice", "dynamic")):
+            kind = "copy/relayout"
+        cats[kind] += ms
+        leaf_total += ms
+    print(f"# leaf categories ({leaf_total:.0f} ms, wrappers excluded):",
+          flush=True)
+    for kind, ms in sorted(cats.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{ms:9.1f} ms  {100 * ms / max(leaf_total, 1e-9):5.1f}%  "
+              f"{kind}", flush=True)
+
+    # the copy/relayout bucket is the round-4 target — name its members
+    print("# top copy/relayout ops:", flush=True)
+    copies = []
+    for name, ms in by_op.items():
+        n = name.lstrip("%")
+        if n.startswith(("while", "cond", "copy-start", "copy-done")):
+            continue
+        kind = n.split(" = ", 1)[0].rstrip("0123456789.").rstrip("-_.")
+        if kind.startswith(("copy", "bitcast", "transpose", "reshape",
+                            "slice", "dynamic")):
+            copies.append((ms, name))
+    for ms, name in sorted(copies, reverse=True)[:25]:
+        print(f"{ms:9.1f} ms  {name[:150]}", flush=True)
     return 0
 
 
