@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.deform import deform_conv2d_patch, modulated_deform_conv2d
-from ..ops.dcn_pallas import deform_conv2d_tile_ad
+from ..ops.dcn_pallas import (
+    _materialize_raw, deform_conv2d_tile_raw_ad)
 from ..ops.warp import flow_warp
 from .common import leaky_relu
 from .registry import register_model
@@ -256,28 +257,22 @@ class SecondOrderDeformableAlignment(nn.Module):
         ko = 9 * (g // 2)
         base_c = _np.arange(ko) * 2          # y channels within one half
         perm = tuple(_np.concatenate([
-            base_c, base_c + 1,              # o1: y block, x block
-            2 * ko + base_c, 2 * ko + base_c + 1,  # o2: y block, x block
-            _np.arange(4 * ko, nch),         # mask block unchanged
+            base_c, 2 * ko + base_c,              # y: half1, half2
+            base_c + 1, 2 * ko + base_c + 1,      # x: half1, half2
+            _np.arange(4 * ko, nch),              # mask block unchanged
         ]).tolist())
         out = _PermutedOutConv(
             nch, perm, dtype=self.dtype, name="offset_out")(h)
         b, hh, ww, _ = out.shape
-
-        def res_plus(o: Array, flow_c: Array) -> Array:
-            # o: (B,H,W,ko) one component plane → (B,H,W,g/2,9) + flow
-            r = self.max_residue_magnitude * jnp.tanh(
-                o.astype(jnp.float32)).reshape(b, hh, ww, g // 2, 9)
-            return r + flow_c.astype(jnp.float32)[:, :, :, None, None]
-
-        off_y = jnp.concatenate(
-            [res_plus(out[..., :ko], flow_1[..., 1]),
-             res_plus(out[..., 2 * ko:3 * ko], flow_2[..., 1])], axis=3)
-        off_x = jnp.concatenate(
-            [res_plus(out[..., ko:2 * ko], flow_1[..., 0]),
-             res_plus(out[..., 3 * ko:4 * ko], flow_2[..., 0])], axis=3)
-        mask = jax.nn.sigmoid(
-            out[..., 4 * ko:].astype(jnp.float32)).reshape(b, hh, ww, g, 9)
+        # PRE-ACTIVATION channel blocks, channel order (half, group, tap).
+        # They stay raw + channel-flat all the way into the tile kernel's
+        # lane permute: materialized (…,g,9) offsets get a K=9-minor
+        # padded layout (+32 ms copy +30 ms reshape per tensor per 512²
+        # call, round-4 trace), and f32 offsets force a 3-pass
+        # Precision.HIGH permute where raw bf16 rides a single-pass dot.
+        raw_y = out[..., :2 * ko]
+        raw_x = out[..., 2 * ko:4 * ko]
+        mask_logits = out[..., 4 * ko:]
 
         weight = self.param(
             "weight",
@@ -340,13 +335,25 @@ class SecondOrderDeformableAlignment(nn.Module):
             pty = 16 if self.max_residue_magnitude <= 5 else 24
             tile_t, patch_p, ntb_n, lane = _tile_config(
                 pty, x.shape[-1] // 2)
-            y = deform_conv2d_tile_ad(
-                x.astype(self.dtype), anchor, (off_y, off_x), weight, bias,
-                mask is None, tile_t, patch_p, ntb_n, lane, mask=mask,
+            flow_y = jnp.stack(
+                [flow_1[..., 1], flow_2[..., 1]], axis=-1)
+            flow_x = jnp.stack(
+                [flow_1[..., 0], flow_2[..., 0]], axis=-1)
+            y = deform_conv2d_tile_raw_ad(
+                x.astype(self.dtype), anchor, raw_y, raw_x, mask_logits,
+                flow_y.astype(jnp.float32), flow_x.astype(jnp.float32),
+                weight, bias, float(self.max_residue_magnitude),
+                tile_t, patch_p, ntb_n, lane,
             )
             return y.astype(x.dtype)
-        # fallback paths take stacked (…, 2) offsets
-        off = jnp.stack([off_y, off_x], axis=-1)
+        # fallback paths take stacked (B,H,W,g,9,2) offsets + 5-D mask
+        off, mask = _materialize_raw(
+            raw_y, raw_x, mask_logits,
+            jnp.stack([flow_1[..., 1], flow_2[..., 1]], -1).astype(
+                jnp.float32),
+            jnp.stack([flow_1[..., 0], flow_2[..., 0]], -1).astype(
+                jnp.float32),
+            self.max_residue_magnitude)
         ps = self._patch_size()
         if ps is not None:
             # fast path: one (ps,ps,C/2) patch per (pixel, flow half) anchored

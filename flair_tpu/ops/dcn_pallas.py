@@ -207,7 +207,8 @@ def _dcn_tile_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "patch", "ntb", "dilation", "interpret",
-                     "ablate", "lane_slice", "build_chunk", "ntb2"),
+                     "ablate", "lane_slice", "build_chunk", "ntb2",
+                     "raw_mrm"),
 )
 def deform_conv2d_tile(
     x: Array,
@@ -217,6 +218,8 @@ def deform_conv2d_tile(
     bias: Array | None = None,
     *,
     mask: Array | None = None,
+    raw: tuple | None = None,
+    raw_mrm: float = 0.0,
     tile: tuple[int, int] = (2, 2),
     patch: tuple[int, int] = (14, 32),
     ntb: int = 16,
@@ -235,11 +238,33 @@ def deform_conv2d_tile(
                    groups split into A contiguous blocks (FLAIR: A=2).
       offset:      FULL sample offsets (flow + residue): either a stacked
                    (B, H, W, G, K, 2) array, or a tuple (oy, ox) of two
-                   (B, H, W, G, K) arrays — the split form skips the
-                   stack + two stride-2 slices (~0.9 GB HBM round-trips
-                   per 512² call) that the stacked form costs upstream.
+                   (B, H, W, G, K) — or channel-flat (B, H, W, G·K),
+                   group-major — arrays. The split form skips the stack +
+                   two stride-2 slices (~0.9 GB HBM round-trips per 512²
+                   call) the stacked form costs upstream; the FLAT form
+                   additionally avoids XLA's K=9-minor padded layout
+                   (a 32 ms normalization copy + 30 ms tiled reshape per
+                   tensor per 512² call, round-4 trace).
       weight:      (3, 3, Cin, Cout) HWIO (conv groups = 1).
-      mask:        optional (B, H, W, G, K) modulation (sigmoided).
+      mask:        optional (B, H, W, G, K) or flat (B, H, W, G·K)
+                   modulation (sigmoided).
+      raw:         optional PRE-ACTIVATION prep inputs, replacing
+                   offset+mask entirely: (res_y, res_x, mask_logits,
+                   flow_y, flow_x) where res_*/mask_logits are the
+                   offset-conv output channel blocks (B, H, W, G·K) in
+                   their compute dtype (bf16 on TPU) and flow_* are
+                   (B, H, W, A) f32 per-anchor base flows. The lane
+                   permute then rides the RAW values — a single-pass
+                   bf16 one-hot dot instead of an f32 Precision.HIGH
+                   (bf16_3x) dot — and ``mrm·tanh(·) + flow + table``
+                   happens in lane space where it fuses with the
+                   existing iota-table adds. Same per-element op order as
+                   the materialized-offset path: bit-identical in
+                   interpret mode; on TPU, XLA fusion/FMA contraction
+                   differences leave ≤1 bf16-ulp output deltas (~13% of
+                   elements, measured numerically neutral vs the exact
+                   path).
+      raw_mrm:     max_residue_magnitude for the ``raw`` path (static).
       tile:        (TY, TX) pixels sharing one patch anchor.
       patch:       (PTY, PTX); PTX % 16 == 0, PTY*PTX covering
                    tile span + 2·max_residue + 4 + flow spread.
@@ -255,13 +280,18 @@ def deform_conv2d_tile(
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     assert (kh, kw) == (3, 3), "specialised to 3x3 kernels"
-    oy_r, ox_r = (
-        (offset[0], offset[1]) if isinstance(offset, (tuple, list))
-        else (offset[..., 0], offset[..., 1])
-    )
-    g = oy_r.shape[3]
-    a = anchor_flow.shape[3]
     kk = kh * kw
+    if raw is not None:
+        assert offset is None and mask is None
+        oy_r = ox_r = None
+        g = raw[0].shape[3] // kk
+    else:
+        oy_r, ox_r = (
+            (offset[0], offset[1]) if isinstance(offset, (tuple, list))
+            else (offset[..., 0], offset[..., 1])
+        )
+        g = oy_r.shape[3] if oy_r.ndim == 5 else oy_r.shape[3] // kk
+    a = anchor_flow.shape[3]
     ca = cin // a
     ga = g // a
     cg = cin // g
@@ -373,8 +403,6 @@ def deform_conv2d_tile(
             preferred_element_type=v.dtype)    # (n_tiles, (a, R)) (k,p,g)
         return v2.reshape(n_steps, ntb * a, r)
 
-    oy = oy_r.astype(cdt)
-    ox = ox_r.astype(cdt)
     # permute the OFFSETS alone; the (pixel base + tap + padding − anchor)
     # term is a structured iota table added directly in the permuted
     # (step, tile·anchor, lane) space. Permuting `base + offset` instead
@@ -401,12 +429,38 @@ def deform_conv2d_tile(
              + (k_i // 3 - 1) * dilation).astype(cdt)
     tab_x = ((ntx_i * tx + p_i % tx + pad_x - ax_s)
              + (k_i % 3 - 1) * dilation).astype(cdt)
-    ry_b = lanes(oy) + tab_y
-    rx_b = lanes(ox) + tab_x
-    # modulation rides bf16: it only ever multiplies into the bf16 w2
-    # product, and halving its bytes halves its transpose/permute cost
-    mw_b = (lanes(mask.astype(jnp.bfloat16)) if mask is not None
-            else jnp.ones((n_steps, ntb * a, r), jnp.bfloat16))
+    if raw is not None:
+        res_y, res_x, mask_logits, flow_y, flow_x = raw
+        # per-(pixel, anchor) flow → lane space via a TINY one-hot
+        # (tpix·A rows vs tpix·G·K): exact f32 pass-through at HIGH
+        row3 = m_of_l // (ga * kk)      # lane ℓ → source row in (ty,tx,a)
+        pf = np.zeros((tpix * a, a * r), np.float32)
+        pf[row3, np.arange(a * r)] = 1.0
+        pf = jnp.asarray(pf)
+
+        def lanes_flow(v):  # (B,H,W,A) f32 → (n_steps, ntb*a, r)
+            va = v.astype(cdt).reshape(b, nty, ty, ntx_t, tx, a)
+            va = va.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b * nty * ntx_t, tpix * a)
+            v2 = lax.dot_general(
+                va, pf, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGH, preferred_element_type=cdt)
+            return v2.reshape(n_steps, ntb * a, r)
+
+        mrm = jnp.asarray(raw_mrm, cdt)
+        ry_b = (mrm * jnp.tanh(lanes(res_y).astype(cdt))
+                + lanes_flow(flow_y)) + tab_y
+        rx_b = (mrm * jnp.tanh(lanes(res_x).astype(cdt))
+                + lanes_flow(flow_x)) + tab_x
+        mw_b = jax.nn.sigmoid(
+            lanes(mask_logits).astype(cdt)).astype(jnp.bfloat16)
+    else:
+        ry_b = lanes(oy_r.astype(cdt)) + tab_y
+        rx_b = lanes(ox_r.astype(cdt)) + tab_x
+        # modulation rides bf16: it only ever multiplies into the bf16 w2
+        # product, and halving its bytes halves its transpose/permute cost
+        mw_b = (lanes(mask.astype(jnp.bfloat16)) if mask is not None
+                else jnp.ones((n_steps, ntb * a, r), jnp.bfloat16))
 
     # full per-tap conv weight, anchor-split on input channels and
     # duplicated per packing parity: wall[(a,k), par·Ca + c, e]
@@ -565,11 +619,18 @@ def _tile_ad_bwd(mask_is_none, tile, patch, ntb, lane_slice, res, g):
     x, anchor_flow, offset, weight, bias, mask = res
     ps = min(patch[0], 16)
 
+    def _5d(v):
+        # split components may be channel-flat (B,H,W,G·K); gradients flow
+        # back through the reshape/stack to the flat components automatically
+        if v.ndim == 4:
+            bb, hh, ww, gk = v.shape
+            v = v.reshape(bb, hh, ww, gk // 9, 9)
+        return v
+
     def _stack(off):
-        # the patch path takes stacked (…, 2) offsets; gradients flow back
-        # through the stack to the split components automatically
-        return (jnp.stack(off, axis=-1) if isinstance(off, (tuple, list))
-                else off)
+        # the patch path takes stacked (…, 2) offsets
+        return (jnp.stack([_5d(off[0]), _5d(off[1])], axis=-1)
+                if isinstance(off, (tuple, list)) else off)
 
     if mask_is_none:
         def f(x, anchor_flow, offset, weight, bias):
@@ -581,7 +642,7 @@ def _tile_ad_bwd(mask_is_none, tile, patch, ntb, lane_slice, res, g):
 
     def f(x, anchor_flow, offset, weight, bias, mask):
         return deform_conv2d_patch(
-            x, anchor_flow, _stack(offset), weight, bias, mask=mask,
+            x, anchor_flow, _stack(offset), weight, bias, mask=_5d(mask),
             patch_size=ps)
 
     _, vjp = jax.vjp(f, x, anchor_flow, offset, weight, bias, mask)
@@ -589,3 +650,69 @@ def _tile_ad_bwd(mask_is_none, tile, patch, ntb, lane_slice, res, g):
 
 
 deform_conv2d_tile_ad.defvjp(_tile_ad_fwd, _tile_ad_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def deform_conv2d_tile_raw_ad(
+    x, anchor_flow, res_y, res_x, mask_logits, flow_y, flow_x,
+    weight, bias, mrm, tile, patch, ntb, lane_slice=False,
+):
+    """Differentiable raw-prep tile DCN: forward runs the Pallas kernel
+    with the lane-space offset prep (``raw=``, single-pass bf16 permute);
+    backward reconstructs materialized offsets and re-runs the XLA patch
+    path's VJP (gradients flow to the raw logits through tanh/sigmoid)."""
+    return deform_conv2d_tile(
+        x, anchor_flow, None, weight, bias,
+        raw=(res_y, res_x, mask_logits, flow_y, flow_x), raw_mrm=mrm,
+        tile=tile, patch=patch, ntb=ntb, lane_slice=lane_slice)
+
+
+def _materialize_raw(res_y, res_x, mask_logits, flow_y, flow_x, mrm):
+    """(res, flows, mrm) → stacked (B,H,W,G,9,2) offsets + (B,H,W,G,9)
+    mask, matching the raw path's per-element op order exactly."""
+    bb, hh, ww, gk = res_y.shape
+    g = gk // 9
+    rep = gk // flow_y.shape[-1]
+
+    def comp(res, flow):
+        o = mrm * jnp.tanh(res.astype(jnp.float32))
+        o = o + jnp.repeat(flow.astype(jnp.float32), rep, axis=-1)
+        return o.reshape(bb, hh, ww, g, 9)
+
+    off = jnp.stack([comp(res_y, flow_y), comp(res_x, flow_x)], axis=-1)
+    mask = jax.nn.sigmoid(
+        mask_logits.astype(jnp.float32)).reshape(bb, hh, ww, g, 9)
+    return off, mask
+
+
+def _tile_raw_ad_fwd(x, anchor_flow, res_y, res_x, mask_logits,
+                     flow_y, flow_x, weight, bias,
+                     mrm, tile, patch, ntb, lane_slice=False):
+    out = deform_conv2d_tile_raw_ad(
+        x, anchor_flow, res_y, res_x, mask_logits, flow_y, flow_x,
+        weight, bias, mrm, tile, patch, ntb, lane_slice)
+    return out, (x, anchor_flow, res_y, res_x, mask_logits,
+                 flow_y, flow_x, weight, bias)
+
+
+def _tile_raw_ad_bwd(mrm, tile, patch, ntb, lane_slice, res, g):
+    from .deform import deform_conv2d_patch
+
+    (x, anchor_flow, res_y, res_x, mask_logits,
+     flow_y, flow_x, weight, bias) = res
+    ps = min(patch[0], 16)
+
+    def f(x, anchor_flow, res_y, res_x, mask_logits, flow_y, flow_x,
+          weight, bias):
+        off, mask = _materialize_raw(
+            res_y, res_x, mask_logits, flow_y, flow_x, mrm)
+        return deform_conv2d_patch(
+            x, anchor_flow, off, weight, bias, mask=mask, patch_size=ps)
+
+    _, vjp = jax.vjp(f, x, anchor_flow, res_y, res_x, mask_logits,
+                     flow_y, flow_x, weight, bias)
+    return vjp(g)
+
+
+deform_conv2d_tile_raw_ad.defvjp(_tile_raw_ad_fwd, _tile_raw_ad_bwd)

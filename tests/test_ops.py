@@ -774,6 +774,62 @@ class TestDCNTilePallas:
             rough, off_r, tile=(2, 4), patch=(16, 32)))
         assert frac > 0.05
 
+    def test_split_and_flat_offsets_match_stacked(self):
+        """The serving call shape: split (oy, ox) tuples — 5-D or
+        channel-flat (B,H,W,G·K) — must be bit-identical to the stacked
+        (…,2) form (same lanes() dot on the same bytes)."""
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+
+        x, flow, off, mask, wgt, bias = self._mk(
+            jax.random.PRNGKey(11), amp=1.5, M=2.0)
+        kwargs = dict(mask=mask, tile=(2, 4), patch=(16, 32), ntb=8,
+                      interpret=True)
+        ref = deform_conv2d_tile(x, flow, off, wgt, bias, **kwargs)
+        out5 = deform_conv2d_tile(
+            x, flow, (off[..., 0], off[..., 1]), wgt, bias, **kwargs)
+        b, h, w, g, k, _ = off.shape
+        flat = lambda v: v.reshape(b, h, w, g * k)
+        kwargs_flat = dict(kwargs, mask=flat(mask))
+        outf = deform_conv2d_tile(
+            x, flow, (flat(off[..., 0]), flat(off[..., 1])), wgt, bias,
+            **kwargs_flat)
+        assert jnp.array_equal(ref, out5)
+        assert jnp.array_equal(ref, outf)
+
+    def test_raw_prep_matches_materialized_offsets(self):
+        """The serving prep: raw pre-activation logits + flows fed into
+        the kernel's lane-space ``mrm·tanh(·)+flow`` must equal the
+        materialized-offset path bit-for-bit (permutation commutes with
+        elementwise; identical per-element op order)."""
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import (
+            _materialize_raw, deform_conv2d_tile)
+
+        key = jax.random.PRNGKey(13)
+        b, h, w, cin, g, cout, mrm = 1, 8, 16, 128, 16, 64, 2.0
+        ks = jax.random.split(key, 6)
+        x = jax.random.normal(ks[0], (b, h, w, cin), jnp.bfloat16)
+        res_y = jax.random.normal(ks[1], (b, h, w, g * 9), jnp.bfloat16)
+        res_x = jax.random.normal(ks[2], (b, h, w, g * 9), jnp.bfloat16)
+        mlg = jax.random.normal(ks[3], (b, h, w, g * 9), jnp.bfloat16)
+        # smooth-ish flows so samples stay inside the patch
+        fy = jax.random.normal(ks[4], (b, h, w, 2), jnp.float32) * 1.5
+        fx = jax.random.normal(ks[5], (b, h, w, 2), jnp.float32) * 1.5
+        anchor = jnp.stack([fy, fx], axis=-1)  # (B,H,W,A,2) (dy,dx)
+        wgt = jax.random.normal(key, (3, 3, cin, cout), jnp.float32) * 0.05
+        bias = jnp.zeros((cout,), jnp.float32)
+        kwargs = dict(tile=(2, 4), patch=(16, 32), ntb=8, interpret=True)
+        off, mask = _materialize_raw(res_y, res_x, mlg, fy, fx, mrm)
+        ref = deform_conv2d_tile(
+            x, anchor, off, wgt, bias, mask=mask, **kwargs)
+        out = deform_conv2d_tile(
+            x, anchor, None, wgt, bias,
+            raw=(res_y, res_x, mlg, fy, fx), raw_mrm=mrm, **kwargs)
+        assert jnp.array_equal(ref, out)
+
     def test_custom_vjp_gradients_flow(self):
         import jax
 
