@@ -205,6 +205,12 @@ class SecondOrderDeformableAlignment(nn.Module):
     (3C). Offsets = max_residue_magnitude·tanh(conv_stack) + flow (flipped to
     (dy, dx)); mask = sigmoid. deform_groups split half/half over the two
     propagated feature sets.
+
+    ``flow_1``/``flow_2`` are (B, H, W, 2) arrays (flow[..., 0] = dx) or
+    tuples ``(fdx, fdy)`` of (B, H, W) component planes — the plane form
+    (what the scanned production path passes) avoids every lane-minor
+    (…, 2) materialization and strided component re-slice between the
+    scan xs and the kernel (each ~8 ms/step of async DMA at 512²).
     """
 
     features: int  # C (output channels)
@@ -237,7 +243,16 @@ class SecondOrderDeformableAlignment(nn.Module):
     ) -> Array:
         g = self.deform_groups
         c = self.features
-        feat = jnp.concatenate([extra_feat, flow_1, flow_2], axis=-1)
+        if isinstance(flow_1, (tuple, list)):
+            f1x, f1y = flow_1
+            f2x, f2y = flow_2
+            flow_feats = [f1x[..., None], f1y[..., None],
+                          f2x[..., None], f2y[..., None]]
+        else:
+            f1x, f1y = flow_1[..., 0], flow_1[..., 1]
+            f2x, f2y = flow_2[..., 0], flow_2[..., 1]
+            flow_feats = [flow_1, flow_2]
+        feat = jnp.concatenate([extra_feat, *flow_feats], axis=-1)
         h = feat
         for i in range(3):
             h = nn.Conv(
@@ -324,47 +339,33 @@ class SecondOrderDeformableAlignment(nn.Module):
                 "kernel (conditionally exact: out-of-patch bilinear supports "
                 "contribute zero; use dcn_impl='patch' for exact parity)"
             )
+        # per-anchor flow planes, (B,H,W,A) in (half1, half2) order — the
+        # ONLY flow materializations on the tile path (they double as the
+        # kernel's patch anchors)
+        flow_y = jnp.stack([f1y, f2y], axis=-1).astype(jnp.float32)
+        flow_x = jnp.stack([f1x, f2x], axis=-1).astype(jnp.float32)
         if use_tile:
-            anchor = jnp.stack(
-                [
-                    jnp.stack([flow_1[..., 1], flow_1[..., 0]], axis=-1),
-                    jnp.stack([flow_2[..., 1], flow_2[..., 0]], axis=-1),
-                ],
-                axis=3,
-            ).astype(jnp.float32)  # (B,H,W,2,2) in (dy,dx)
             pty = 16 if self.max_residue_magnitude <= 5 else 24
             tile_t, patch_p, ntb_n, lane = _tile_config(
                 pty, x.shape[-1] // 2)
-            flow_y = jnp.stack(
-                [flow_1[..., 1], flow_2[..., 1]], axis=-1)
-            flow_x = jnp.stack(
-                [flow_1[..., 0], flow_2[..., 0]], axis=-1)
             y = deform_conv2d_tile_raw_ad(
-                x.astype(self.dtype), anchor, raw_y, raw_x, mask_logits,
-                flow_y.astype(jnp.float32), flow_x.astype(jnp.float32),
+                x.astype(self.dtype), raw_y, raw_x, mask_logits,
+                flow_y, flow_x,
                 weight, bias, float(self.max_residue_magnitude),
                 tile_t, patch_p, ntb_n, lane,
             )
             return y.astype(x.dtype)
         # fallback paths take stacked (B,H,W,g,9,2) offsets + 5-D mask
         off, mask = _materialize_raw(
-            raw_y, raw_x, mask_logits,
-            jnp.stack([flow_1[..., 1], flow_2[..., 1]], -1).astype(
-                jnp.float32),
-            jnp.stack([flow_1[..., 0], flow_2[..., 0]], -1).astype(
-                jnp.float32),
+            raw_y, raw_x, mask_logits, flow_y, flow_x,
             self.max_residue_magnitude)
         ps = self._patch_size()
         if ps is not None:
             # fast path: one (ps,ps,C/2) patch per (pixel, flow half) anchored
             # at floor(flow) covers all taps' bilinear corners (PERF.md)
             anchor = jnp.stack(
-                [
-                    jnp.stack([flow_1[..., 1], flow_1[..., 0]], axis=-1),
-                    jnp.stack([flow_2[..., 1], flow_2[..., 0]], axis=-1),
-                ],
-                axis=3,
-            ).astype(jnp.float32)  # (B,H,W,2,2) in (dy,dx)
+                [flow_y, flow_x], axis=-1
+            )  # (B,H,W,A,2) in (dy,dx)
             y = deform_conv2d_patch(
                 x.astype(self.dtype), anchor, off, weight, bias,
                 mask=mask, patch_size=ps,
@@ -393,10 +394,12 @@ class _PropStep(nn.Module):
         # flows/weights arrive component-packed (B, 2|1, H, W) — a trailing
         # size-2/1 lane dim on the scan's stacked xs makes XLA materialize
         # 64-128×-padded remat copies (measured: two 2.5 G copies of
-        # f32[T,B,H,W,2] per step at 512²); unpacking per step is a ~2 MB
-        # relayout instead
-        flow_n1 = jnp.moveaxis(flow_n1, 1, -1)
-        flow_n2 = jnp.moveaxis(flow_n2, 1, -1)
+        # f32[T,B,H,W,2] per step at 512²). The components stay SEPARATE
+        # (B, H, W) planes from here to the warp/kernel — re-packing them
+        # channel-last just to re-slice cost ~8 ms/step of strided async
+        # DMA per consumer at 512² (round-4 trace)
+        f1x, f1y = flow_n1[:, 0], flow_n1[:, 1]
+        f2x, f2y = flow_n2[:, 0], flow_n2[:, 1]
         weight_t = jnp.moveaxis(weight_t, 1, -1)
         c = self.features
 
@@ -427,13 +430,15 @@ class _PropStep(nn.Module):
             # flow_warp bucket
             both = flow_warp(
                 jnp.concatenate([prop_n1, prop_n2], axis=0),
-                jnp.concatenate([flow_n1, flow_n2], axis=0),
+                (jnp.concatenate([f1x, f2x], axis=0),
+                 jnp.concatenate([f1y, f2y], axis=0)),
             )
             cond_n1, cond_n2 = jnp.split(both, 2, axis=0)
             cond = jnp.concatenate(
                 [cond_n1, feat_current, cond_n2], axis=-1)
             packed = jnp.concatenate([prop_n1, prop_n2], axis=-1)
-            return mod(packed, cond, flow_n1, flow_n2).astype(prop_n1.dtype)
+            return mod(packed, cond, (f1x, f1y),
+                       (f2x, f2y)).astype(prop_n1.dtype)
 
         def _skip_align(mod):
             return jnp.zeros(prop_n1.shape[:-1] + (c,), prop_n1.dtype)

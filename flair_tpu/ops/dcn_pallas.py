@@ -291,7 +291,14 @@ def deform_conv2d_tile(
             else (offset[..., 0], offset[..., 1])
         )
         g = oy_r.shape[3] if oy_r.ndim == 5 else oy_r.shape[3] // kk
-    a = anchor_flow.shape[3]
+    if isinstance(anchor_flow, (tuple, list)):
+        # (af_y, af_x) of (B,H,W,A) planes — skips the (B,H,W,A,2) stack
+        # + two strided component slices of the array form (with raw=,
+        # these ARE the flow planes: XLA CSEs the shared reads)
+        af_y, af_x = anchor_flow
+    else:
+        af_y, af_x = anchor_flow[..., 0], anchor_flow[..., 1]
+    a = af_y.shape[3]
     ca = cin // a
     ga = g // a
     cg = cin // g
@@ -334,8 +341,8 @@ def deform_conv2d_tile(
     base_x = lax.broadcasted_iota(cdt, (b, h, w), 2)
 
     # ---- per-tile anchors ------------------------------------------------
-    fy = base_y[..., None] + anchor_flow[..., 0].astype(cdt)  # (B,H,W,A)
-    fx = base_x[..., None] + anchor_flow[..., 1].astype(cdt)
+    fy = base_y[..., None] + af_y.astype(cdt)  # (B,H,W,A)
+    fx = base_x[..., None] + af_x.astype(cdt)
 
     def tile_min(v):  # (B,H,W,A) -> (B, nty, ntx, A)
         return jnp.min(v.reshape(b, nty, ty, ntx_t, tx, a), axis=(2, 4))
@@ -653,17 +660,20 @@ deform_conv2d_tile_ad.defvjp(_tile_ad_fwd, _tile_ad_bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def deform_conv2d_tile_raw_ad(
-    x, anchor_flow, res_y, res_x, mask_logits, flow_y, flow_x,
+    x, res_y, res_x, mask_logits, flow_y, flow_x,
     weight, bias, mrm, tile, patch, ntb, lane_slice=False,
 ):
     """Differentiable raw-prep tile DCN: forward runs the Pallas kernel
     with the lane-space offset prep (``raw=``, single-pass bf16 permute);
     backward reconstructs materialized offsets and re-runs the XLA patch
-    path's VJP (gradients flow to the raw logits through tanh/sigmoid)."""
+    path's VJP (gradients flow to the raw logits through tanh/sigmoid).
+    The patch anchors ARE the (flow_y, flow_x) planes — no separate
+    anchor argument (the stacked (B,H,W,A,2) form cost a lane-minor
+    stack + two strided re-slices per call)."""
     return deform_conv2d_tile(
-        x, anchor_flow, None, weight, bias,
+        x, (flow_y, flow_x), None, weight, bias,
         raw=(res_y, res_x, mask_logits, flow_y, flow_x), raw_mrm=mrm,
         tile=tile, patch=patch, ntb=ntb, lane_slice=lane_slice)
 
@@ -686,31 +696,32 @@ def _materialize_raw(res_y, res_x, mask_logits, flow_y, flow_x, mrm):
     return off, mask
 
 
-def _tile_raw_ad_fwd(x, anchor_flow, res_y, res_x, mask_logits,
+def _tile_raw_ad_fwd(x, res_y, res_x, mask_logits,
                      flow_y, flow_x, weight, bias,
                      mrm, tile, patch, ntb, lane_slice=False):
     out = deform_conv2d_tile_raw_ad(
-        x, anchor_flow, res_y, res_x, mask_logits, flow_y, flow_x,
+        x, res_y, res_x, mask_logits, flow_y, flow_x,
         weight, bias, mrm, tile, patch, ntb, lane_slice)
-    return out, (x, anchor_flow, res_y, res_x, mask_logits,
+    return out, (x, res_y, res_x, mask_logits,
                  flow_y, flow_x, weight, bias)
 
 
 def _tile_raw_ad_bwd(mrm, tile, patch, ntb, lane_slice, res, g):
     from .deform import deform_conv2d_patch
 
-    (x, anchor_flow, res_y, res_x, mask_logits,
+    (x, res_y, res_x, mask_logits,
      flow_y, flow_x, weight, bias) = res
     ps = min(patch[0], 16)
 
-    def f(x, anchor_flow, res_y, res_x, mask_logits, flow_y, flow_x,
+    def f(x, res_y, res_x, mask_logits, flow_y, flow_x,
           weight, bias):
         off, mask = _materialize_raw(
             res_y, res_x, mask_logits, flow_y, flow_x, mrm)
+        anchor = jnp.stack([flow_y, flow_x], axis=-1)  # (B,H,W,A,(dy,dx))
         return deform_conv2d_patch(
-            x, anchor_flow, off, weight, bias, mask=mask, patch_size=ps)
+            x, anchor, off, weight, bias, mask=mask, patch_size=ps)
 
-    _, vjp = jax.vjp(f, x, anchor_flow, res_y, res_x, mask_logits,
+    _, vjp = jax.vjp(f, x, res_y, res_x, mask_logits,
                      flow_y, flow_x, weight, bias)
     return vjp(g)
 

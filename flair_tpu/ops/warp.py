@@ -233,19 +233,39 @@ def flow_warp(
     align_corners: bool = True,
 ) -> Array:
     """Warp NHWC ``x`` (B, H, W, C) by pixel-displacement ``flow``
-    (B, H, W, 2), flow[..., 0] = dx. mmedit ``flow_warp`` parity
+    (B, H, W, 2), flow[..., 0] = dx — or a tuple ``(fdx, fdy)`` of two
+    (B, H, W) component planes, which skips the lane-minor stack the
+    array form costs upstream AND the strided component re-slice the
+    samplers pay downstream (each ~8 ms/step of async DMA inside the
+    VSR++ scans at 512², round-4 trace). mmedit ``flow_warp`` parity
     (used by BasicVSRPP at unet.py:449-492, unet_new.py:706-719)."""
     b, h, w, _ = x.shape
+    if isinstance(flow, (tuple, list)):
+        fdx, fdy = flow
+    else:
+        fdx, fdy = flow[..., 0], flow[..., 1]
     gy, gx = jnp.meshgrid(
-        jnp.arange(h, dtype=flow.dtype),
-        jnp.arange(w, dtype=flow.dtype),
+        jnp.arange(h, dtype=fdx.dtype),
+        jnp.arange(w, dtype=fdx.dtype),
         indexing="ij",
     )
-    vx = gx[None] + flow[..., 0]
-    vy = gy[None] + flow[..., 1]
+    vx = gx[None] + fdx
+    vy = gy[None] + fdy
     # normalize to [-1, 1] (align_corners=True convention, as mmedit does)
     nx = 2.0 * vx / jnp.maximum(w - 1, 1) - 1.0
     ny = 2.0 * vy / jnp.maximum(h - 1, 1) - 1.0
+    if interpolation in ("bilinear", "bicubic") and padding_mode == "zeros":
+        # feed the patch samplers directly — same denormalization ops
+        # grid_sample applies, minus the grid stack + component re-slice
+        if align_corners:
+            px = (nx + 1) * (w - 1) / 2
+            py = (ny + 1) * (h - 1) / 2
+        else:
+            px = ((nx + 1) * w - 1) / 2
+            py = ((ny + 1) * h - 1) / 2
+        sampler = (_bilinear_patch_batched if interpolation == "bilinear"
+                   else _bicubic_patch_batched)
+        return sampler(x, py, px)
     grid = jnp.stack([nx, ny], axis=-1)
     return grid_sample(
         x,
