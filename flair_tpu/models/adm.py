@@ -117,6 +117,19 @@ class BlurUNet(nn.Module):
         if compute_flows_only:
             return flows
 
+        # gating maps are window-constant too: nearest-resize ONCE per rnn
+        # resolution instead of inside all 2·len(rnn_resolutions)·
+        # num_res_blocks VSR++ sites at every step
+        wmaps = {}
+        if vsrpp_weights is not None and vsrpp_weights.ndim == 5:
+            from .vsrpp import resize_weight_map
+
+            for res in {self.image_size // int(s)
+                        for s in self.rnn_resolutions}:
+                wmaps[res] = (
+                    vsrpp_weights if vsrpp_weights.shape[2] in (1, res)
+                    else resize_weight_map(vsrpp_weights, res, res))
+
         # remat wrappers: recompute block activations in the backward pass
         # (512² trainability; enable flags/deterministic are trace-static)
         if self.use_checkpoint:
@@ -181,7 +194,7 @@ class BlurUNet(nn.Module):
                     dcn_patch_size=self.dcn_patch_size,
                     dcn_impl=self.dcn_impl,
                     dtype=self.dtype, name=name,
-                )(h, fl[0], fl[1], vsrpp_weights,
+                )(h, fl[0], fl[1], wmaps.get(res, vsrpp_weights),
                   flows_forward2=fl[2] if len(fl) > 2 else None,
                   flows_backward2=fl[3] if len(fl) > 3 else None)
             return h

@@ -192,6 +192,18 @@ class BicubicUNet(nn.Module):
         if compute_flows_only:
             return flows
 
+        # gating maps are window-constant too: nearest-resize ONCE per
+        # VSR++ resolution instead of inside every site at every step
+        wmaps = {}
+        if vsrpp_weights is not None and getattr(
+                vsrpp_weights, "ndim", 0) == 5:
+            from .vsrpp import resize_weight_map
+
+            for res in set(self.vsrpp_res):
+                wmaps[res] = (
+                    vsrpp_weights if vsrpp_weights.shape[2] in (1, res)
+                    else resize_weight_map(vsrpp_weights, res, res))
+
         def level_flags(res):
             return dict(
                 spatial=(res in self.attn_res) and self.spatial_attn,
@@ -234,7 +246,8 @@ class BicubicUNet(nn.Module):
                     dtype=self.dtype,
                     name=f"down_{li}",
                 )(
-                    h, emb, flows.get(now_res), vsrpp_weights,
+                    h, emb, flows.get(now_res),
+                    wmaps.get(now_res, vsrpp_weights),
                     enable_cross_frames, deterministic,
                 )
                 li += 1
@@ -282,7 +295,8 @@ class BicubicUNet(nn.Module):
                     dtype=self.dtype,
                     name=f"up_{li}",
                 )(
-                    h, emb, flows.get(now_res), vsrpp_weights,
+                    h, emb, flows.get(now_res),
+                    wmaps.get(now_res, vsrpp_weights),
                     enable_cross_frames, deterministic,
                 )
                 li += 1

@@ -129,6 +129,25 @@ def compose_second_order_flows(
     return fwd2, bwd2
 
 
+def resize_weight_map(weight: Array, h: int, w: int) -> Array:
+    """Nearest-resize a (B, T, H0, W0, 1) VSR++ gating map to (h, w).
+
+    Window-constant like the flows: the UNets pre-resize once per rnn
+    resolution per forward (next to the flows dict) instead of paying
+    the two einsums inside every VSR++ site at every step. BasicVSRPP
+    still resizes lazily for direct callers (same function —
+    bit-identical either way)."""
+    from ..ops.resize import resize_matrix
+
+    ry = jnp.asarray(resize_matrix(h, weight.shape[2], "nearest"),
+                     weight.dtype)
+    rx = jnp.asarray(resize_matrix(w, weight.shape[3], "nearest"),
+                     weight.dtype)
+    weight = jnp.einsum("uh,bthwc->btuwc", ry, weight)
+    weight = jnp.einsum("vw,bthwc->bthvc", rx, weight)
+    return weight
+
+
 class ResidualBlockNoBN(nn.Module):
     """mmedit ResidualBlockNoBN: x + conv(relu(conv(x)))."""
 
@@ -488,14 +507,14 @@ class BasicVSRPP(nn.Module):
         b, t, h, w, c = hidden.shape
         if weight is None:
             weight = jnp.ones((b, t, 1, 1, 1), hidden.dtype)
-        elif weight.ndim == 5 and weight.shape[2] not in (1, h):
-            # nearest-resize spatial weight maps to feature resolution
-            from ..ops.resize import resize_matrix
-
-            ry = jnp.asarray(resize_matrix(h, weight.shape[2], "nearest"), weight.dtype)
-            rx = jnp.asarray(resize_matrix(w, weight.shape[3], "nearest"), weight.dtype)
-            weight = jnp.einsum("uh,bthwc->btuwc", ry, weight)
-            weight = jnp.einsum("vw,bthwc->bthvc", rx, weight)
+        else:
+            if weight.ndim == 5 and weight.shape[2] not in (1, h):
+                weight = resize_weight_map(weight, h, w)
+            # the gating multiply runs in the trunk dtype (the reference's
+            # fp16 trunk multiplies fp16 feat_prop by the mask weights,
+            # unet.py:489 under autocast); f32 maps in a bf16 trunk would
+            # otherwise promote the scan carry and crash lax.scan
+            weight = weight.astype(hidden.dtype)
 
         zeros_flow = jnp.zeros((b, 1, h, w, 2), hidden.dtype)
         idxs = jnp.arange(t)

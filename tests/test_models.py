@@ -44,6 +44,27 @@ def test_basicvsrpp_identity_at_init():
     np.testing.assert_allclose(np.asarray(out), np.asarray(hidden), atol=1e-5)
 
 
+def test_basicvsrpp_bf16_trunk_f32_weight_maps():
+    """The x8/x16 serving combination: bf16 trunk + f32 ParseNet-derived
+    spatial gating maps (pipeline/video.py:383-390). The gating multiply
+    must run in the trunk dtype (reference fp16 autocast, unet.py:489) —
+    an unconverted f32 map used to promote the scan carry and crash
+    lax.scan with a carry-dtype mismatch (found round 4)."""
+    from flair_tpu.models.vsrpp import BasicVSRPP
+
+    b, t, h, w, c = 1, 4, 8, 8, 32
+    hidden = rand(b, t, h, w, c, seed=2).astype(jnp.bfloat16)
+    fwd = rand(b, t - 1, h, w, 2, seed=3) * 0.5
+    bwd = rand(b, t - 1, h, w, 2, seed=4) * 0.5
+    # image-res (16x16) f32 map exercises the resize path too
+    wmap = (rand(b, t, 2 * h, 2 * w, 1, seed=5) > 0.5).astype(jnp.float32)
+    mod = BasicVSRPP(features=c, dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), hidden, fwd, bwd, wmap)
+    out = mod.apply(params, hidden, fwd, bwd, wmap)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_temporal_attention_identity_at_init_and_grads_flow():
     from flair_tpu.models.temporal import TemporalAttention
 

@@ -253,3 +253,49 @@ if sel("tile"):
             except Exception as e:  # noqa: BLE001
                 print(f"{name:46s} FAILED {type(e).__name__}: {e}",
                       flush=True)
+
+if sel("rawsweep"):
+    # raw-prep serving-path sweep (post lever-#2/#3: the kernel consumes
+    # PRE-ACTIVATION logits + flow planes — the cost structure the old
+    # `tile` sweep's materialized offsets no longer represent). Focus:
+    # the ADM/BlurUNet M=10 shapes, where pty=24 forces ntb=8 under the
+    # 16 M scoped-VMEM limit (r3 probe) and per-call cost is 43.6 ms
+    # in-step vs bicubic's 31.4 (round-4 blur trace).
+    from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+
+    for (h, cin, cout, M) in [(512, 128, 64, 10), (256, 256, 128, 10),
+                              (512, 128, 64, 5)]:
+        b, g, kk = 1, 16, 9
+        x = jax.random.normal(ks[0], (b, h, h, cin), jnp.bfloat16)
+        fl = jax.random.normal(ks[1], (b, h, h, 2), jnp.float32) * 8.0
+        fl = jax.image.resize(fl[:, ::8, ::8], fl.shape, "linear")
+        flow_y = jnp.stack([fl[..., 1], -fl[..., 1]], -1)  # (B,H,W,A)
+        flow_x = jnp.stack([fl[..., 0], -fl[..., 0]], -1)
+        res_y = jax.random.normal(ks[2], (b, h, h, g * kk), jnp.bfloat16)
+        res_x = jax.random.normal(ks[3], (b, h, h, g * kk), jnp.bfloat16)
+        mlg = jax.random.normal(ks[4], (b, h, h, g * kk), jnp.bfloat16)
+        wgt = jax.random.normal(ks[5], (3, 3, cin, cout),
+                                jnp.bfloat16) * 0.05
+        pty = 16 if M <= 5 else 24
+        xpack = 128 // (cin // 2)
+        cfgs = [((2, 4), (pty, 32), 8), ((2, 4), (pty, 32), 16),
+                ((2, 4), (pty, 32), 4),
+                ((4, 4), (pty + 4, 32), 8), ((4, 4), (pty + 4, 32), 4),
+                ((4, 8), (pty + 4, 32), 4), ((2, 8), (pty, 32), 8)]
+        for tile, patch, ntb in cfgs:
+            n_tiles = (h // tile[0]) * (h // tile[1])
+            if n_tiles % ntb or patch[1] % (16 * xpack):
+                continue
+            name = (f"raw {h}^2 cin{cin} M{M} t{tile[0]}x{tile[1]} "
+                    f"p{patch[0]}x{patch[1]} ntb{ntb}")
+            try:
+                timeit(name,
+                       lambda fy, fx, ry, rx, ml, t=tile, p=patch, n=ntb:
+                       deform_conv2d_tile(
+                           x, (fy, fx), None, wgt, None,
+                           raw=(ry, rx, ml, fy, fx), raw_mrm=float(M),
+                           tile=t, patch=p, ntb=n),
+                       flow_y, flow_x, res_y, res_x, mlg)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:58s} FAILED {type(e).__name__}: "
+                      f"{str(e)[:100]}", flush=True)
