@@ -106,6 +106,15 @@ def _bilinear_patch_batched(img: Array, y: Array, x: Array) -> Array:
     """
     b, h, w, c = img.shape
     _, ho, wo = y.shape
+    if 2 * c * img.dtype.itemsize < 128:
+        # small-C images (e.g. the 3-channel face crops): the (2,2,C)
+        # patch output puts C on the lane axis, and XLA's 128-lane padding
+        # inflates the gather transient 128/C× — 21.5 GB at the face
+        # paste's 2.6 M points (round-4 compile OOM). Per-tap sampling
+        # is the slow-emitter class but bounded memory.
+        return jax.vmap(
+            lambda im, yy, xx: _sample_bilinear(im, yy, xx, True)
+        )(img, y, x)
     cdt = jnp.float32
     y0 = jnp.floor(y.astype(cdt))
     x0 = jnp.floor(x.astype(cdt))
@@ -152,6 +161,12 @@ def _bicubic_patch_batched(img: Array, y: Array, x: Array) -> Array:
     """
     b, h, w, c = img.shape
     _, ho, wo = y.shape
+    if 4 * c * img.dtype.itemsize < 128:
+        # see _bilinear_patch_batched: lane padding of the (4,4,C) patch
+        # transient is 128/C× — per-tap sampling for small-C images
+        return jax.vmap(
+            lambda im, yy, xx: _sample_bicubic(im, yy, xx, True)
+        )(img, y, x)
     cdt = jnp.float32
     y0 = jnp.floor(y.astype(cdt))
     x0 = jnp.floor(x.astype(cdt))
