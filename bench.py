@@ -586,6 +586,23 @@ def _child_measure(size, frames, iters, overhead) -> int:
             print(f"# batch{nb} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    if os.environ.get("BENCH_DCN", "auto") == "auto":
+        # plan-B passthrough (VERDICT r3 #7): surface the most recent
+        # BENCH_DCN=patch probe's full-step latency (the TPU-exact DCN
+        # fallback) on the default record, dated — measuring it inline
+        # would add a multi-minute compile to every driver bench run
+        try:
+            with open(_LAST) as f:
+                store = json.load(f)
+            pk = json.dumps({**_bench_config(), "dcn": "patch"},
+                            sort_keys=True)
+            rec = store.get(pk)
+            if rec and rec.get("per_step_ms"):
+                extras["per_step_ms_patch"] = rec["per_step_ms"]
+                extras["patch_measured_at"] = rec.get("measured_at")
+        except (OSError, ValueError):
+            pass
+
     kind = jax.devices()[0].device_kind
     peak = _PEAKS.get(kind, V5E_PEAK_BF16)
     mfu = (flops / per_step / peak) if flops else None

@@ -224,14 +224,15 @@ def make_face_fn_p(
         # CodeFormer output (:265), but the warp input is the CLAMPED face
         # (the 0..1 normalize at :267-271 clips), and the warped result is
         # clamped again (:326-333 — cubic overshoot clipped to [-1,1]).
-        inv_face = jnp.clip(
-            warp_affine(
-                jnp.clip(restored, -1, 1), _invert_batch(m), (h, w),
-                mode="bicubic",
-            ),
-            -1, 1,
+        # Face and mask share the same inverse matrices and output grid, so
+        # both paste warps ride ONE C=4 warp (per-channel independent ≡ two
+        # warps; halves the gather/coordinate work).
+        pasted = warp_affine(
+            jnp.concatenate([jnp.clip(restored, -1, 1), mask], axis=-1),
+            _invert_batch(m), (h, w), mode="bicubic",
         )
-        inv_mask = warp_affine(mask, _invert_batch(m), (h, w), mode="bicubic")
+        inv_face = jnp.clip(pasted[..., :3], -1, 1)
+        inv_mask = pasted[..., 3:]
 
         fused = frames * (1.0 - inv_mask) + inv_face * inv_mask
         return fused.reshape(b, t, h, w, c)

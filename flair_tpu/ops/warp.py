@@ -163,10 +163,11 @@ def _bicubic_patch_batched(img: Array, y: Array, x: Array) -> Array:
     _, ho, wo = y.shape
     if 4 * c * img.dtype.itemsize < 128:
         # see _bilinear_patch_batched: lane padding of the (4,4,C) patch
-        # transient is 128/C× — per-tap sampling for small-C images
-        return jax.vmap(
-            lambda im, yy, xx: _sample_bicubic(im, yy, xx, True)
-        )(img, y, x)
+        # transient is 128/C× for small-C images. Instead of the per-tap
+        # fallback (slow-emitter class, ~400 ms per face warp at 2.6 M
+        # points) pre-pack the 16 taps into the minor axis so ONE gather
+        # row carries the whole 4×4 support contiguously.
+        return _bicubic_packed_small_c(img, y, x)
     cdt = jnp.float32
     y0 = jnp.floor(y.astype(cdt))
     x0 = jnp.floor(x.astype(cdt))
@@ -192,6 +193,64 @@ def _bicubic_patch_batched(img: Array, y: Array, x: Array) -> Array:
     ).reshape(b, ho, wo, 4, 4, c)
     # same accumulation order and dtype promotion as the tap-loop
     # (_sample_bicubic): v·wx summed over dx, then ·wy summed over dy
+    out = None
+    for dy in range(4):
+        row = None
+        for dx in range(4):
+            v = patch[..., dy, dx, :] * wx[dx][..., None]
+            row = v if row is None else row + v
+        row = row * wy[dy][..., None]
+        out = row if out is None else out + row
+    return out
+
+
+def _bicubic_packed_small_c(img: Array, y: Array, x: Array) -> Array:
+    """Bicubic zeros-padding sample for small-C images via a packed-tap
+    operand.
+
+    The XLA gather emitter is fast only when each gathered row is ≥128 B
+    contiguous (mosaic-gather-limits); a (4,4,C) patch of a 3-channel image
+    has C-sized rows (12 B). Build ``im16[b, i, j, (ky·4+kx)·C + c] =
+    xp[b, i+ky, j+kx, c]`` once (16 shifted copies — one fused kernel,
+    16× image bytes), so every output point needs ONE gather whose row is
+    the whole 16·C support (192 B at C=3 f32). Channels are zero-padded up
+    so 16·C'·itemsize ≥ 128 (e.g. a C=1 f32 mask → C'=2). Numerics match
+    the tap-loop exactly: identical tap values (zero padding ≡ the valid
+    mask) and the same f32 accumulation order.
+    """
+    b, h, w, c = img.shape
+    _, ho, wo = y.shape
+    cp = max(c, -(-128 // (16 * img.dtype.itemsize)))
+    if cp > c:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    cdt = jnp.float32
+    y0 = jnp.floor(y.astype(cdt))
+    x0 = jnp.floor(x.astype(cdt))
+    wy = _keys_cubic_weights(y.astype(cdt) - y0)
+    wx = _keys_cubic_weights(x.astype(cdt) - x0)
+    wy = [wy[k] * ((y0 - 1 + k >= 0) & (y0 - 1 + k <= h - 1)) for k in range(4)]
+    wx = [wx[k] * ((x0 - 1 + k >= 0) & (x0 - 1 + k <= w - 1)) for k in range(4)]
+
+    xp = jnp.pad(img, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    # anchor range i ∈ [0, h+2] (see _bicubic_patch_batched)
+    im16 = jnp.stack(
+        [xp[:, ky : ky + h + 3, kx : kx + w + 3, :]
+         for ky in range(4) for kx in range(4)],
+        axis=3,
+    ).reshape(b, h + 3, w + 3, 16 * cp)
+    iy = jnp.clip(y0.astype(jnp.int32) + 2, 0, h + 2).reshape(b, ho * wo)
+    ix = jnp.clip(x0.astype(jnp.int32) + 2, 0, w + 2).reshape(b, ho * wo)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(2,), collapsed_slice_dims=(1, 2),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,),
+    )
+    patch = lax.gather(
+        im16, jnp.stack([iy, ix], axis=-1), dn,
+        slice_sizes=(1, 1, 1, 16 * cp),
+        mode=lax.GatherScatterMode.CLIP,
+    ).reshape(b, ho, wo, 4, 4, cp)[..., :c]
+    # same accumulation order and dtype promotion as the tap-loop
     out = None
     for dy in range(4):
         row = None
