@@ -594,13 +594,16 @@ def _child_measure(size, frames, iters, overhead) -> int:
         try:
             with open(_LAST) as f:
                 store = json.load(f)
-            pk = json.dumps({**_bench_config(), "dcn": "patch"},
-                            sort_keys=True)
-            rec = store.get(pk)
-            if rec and rec.get("per_step_ms"):
-                extras["per_step_ms_patch"] = rec["per_step_ms"]
-                extras["patch_measured_at"] = rec.get("measured_at")
-        except (OSError, ValueError):
+            want = {**_bench_config(), "dcn": "patch"}
+            want.pop("batch", None)  # the probe skips the batch variant
+            for rec in store.values():
+                cfg = dict(rec.get("config") or {})
+                cfg.pop("batch", None)
+                if cfg == want and rec.get("per_step_ms"):
+                    extras["per_step_ms_patch"] = rec["per_step_ms"]
+                    extras["patch_measured_at"] = rec.get("measured_at")
+                    break
+        except (OSError, ValueError, AttributeError):
             pass
 
     kind = jax.devices()[0].device_kind

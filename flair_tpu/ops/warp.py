@@ -128,13 +128,26 @@ def _bilinear_patch_batched(img: Array, y: Array, x: Array) -> Array:
     xp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
     iy = jnp.clip(y0.astype(jnp.int32) + 1, 0, h).reshape(b, ho * wo)
     ix = jnp.clip(x0.astype(jnp.int32) + 1, 0, w).reshape(b, ho * wo)
+    # pack the 4 taps into the gather minor axis (4 shifted copies — one
+    # fused kernel): each point is ONE gather row of 4·C contiguous
+    # elements. The direct (1,2,2,C) slice leaves C on the lane axis —
+    # at C=64 bf16 that is a 2×-padded patch tensor (537 MB per 512²
+    # feature warp) and 4 separate 128 B runs per point; packed rows are
+    # 512 B, the tensor is exactly 4C lanes, and the relayout copy the
+    # (2,2,C) layout forced on the weighted sum disappears (round-4
+    # blur trace: 75.4 ms + 11.5 ms copy per scan site).
+    im4 = jnp.stack(
+        [xp[:, ky : ky + h + 1, kx : kx + w + 1, :]
+         for ky in range(2) for kx in range(2)],
+        axis=3,
+    ).reshape(b, h + 1, w + 1, 4 * c)
     dn = lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4), collapsed_slice_dims=(),
+        offset_dims=(2,), collapsed_slice_dims=(1, 2),
         start_index_map=(1, 2),
         operand_batching_dims=(0,), start_indices_batching_dims=(0,),
     )
     patch = lax.gather(
-        xp, jnp.stack([iy, ix], axis=-1), dn, slice_sizes=(1, 2, 2, c),
+        im4, jnp.stack([iy, ix], axis=-1), dn, slice_sizes=(1, 1, 1, 4 * c),
         mode=lax.GatherScatterMode.CLIP,
     ).reshape(b, ho, wo, 2, 2, c)
     dt = img.dtype
