@@ -10,10 +10,23 @@ Re-design of the reference temporal propagation stack
   (unet.py:598-661); deformable conv itself is ops.deform (XLA gathers +
   MXU matmuls) instead of torchvision/mmcv CUDA kernels.
 - ``BasicVSRPP`` — backward_1 + forward_1 recurrent branches
-  (unet.py:313-595). The Python frame loop becomes ``nn.scan`` so the whole
-  bidirectional propagation is two fused XLA while-loops; flows are taken
-  precomputed (compute once per resolution and share across blocks — the
-  reference recomputes identical flows per block).
+  (unet.py:313-595). The reference's Python frame loop is a plain
+  ``lax.scan`` over a PURE step function (``_run_branch``): branch params
+  are registered by name-matched shell modules (identical tree to the
+  r1-r4 ``nn.scan`` formulation, so converted reference weights and the
+  archived goldens load unchanged) and enter the scan as closure
+  constants. That split is what lets the **frame-batchable halves of the
+  in-scan convs hoist out of the recurrence** (round-5 lever, VERDICT r4
+  #2): ``conv(cat(a, b)) = conv_a(a) + conv_b(b)`` exactly, and in both
+  ``offset_conv0`` (consumes cat(cond_n1, feat_current, cond_n2, flows),
+  unet.py:620-645) and the backbone input conv (cat(feat_current, extra,
+  prop), unet.py:659-668) only the warped-carry blocks actually depend on
+  the recurrence — ``feat_current``/``extra``/flows are scan xs, computed
+  for all T frames in ONE batched conv per window instead of T sequential
+  per-frame convs on the scan's critical path. Numerics: the split sums
+  each half's f32 conv accumulator before the output-dtype round, so
+  outputs differ from the single-conv form only by float reassociation
+  (≤1 output-dtype ulp; asserted ≤2e-6 rms in f32, tests/test_models.py).
 
 Convention: hidden features (B, T, H, W, C); flows (B, T-1, H, W, 2) with
 flow[..., 0] = dx.
@@ -21,11 +34,14 @@ flow[..., 0] = dx.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 from ..ops.deform import deform_conv2d_patch, modulated_deform_conv2d
 from ..ops.dcn_pallas import (
@@ -39,18 +55,28 @@ _TILE_NOTICE: list = []
 
 
 def _tile_config(pty: int, ca: int = 64):
-    """Tile-DCN kernel configuration: (tile, patch, ntb, lane_slice).
+    """Tile-DCN kernel configuration: (tile, patch, ntb, lane_slice,
+    int8_dots).
 
     Default is the round-3 measured winner ((2,4)/(pty,32); sweep v2 in
     PERF.md — larger tiles lose to window-MAC inflation once the layout
-    fix removed the fixed-cost tax). Override with
-    FLAIR_DCN_TILE="ty,tx,pty_pad,ptx,ntb[,lane]" to flip on a
-    tools/profile_ops.py `tile` sweep winner without code edits —
+    fix removed the fixed-cost tax; the round-5 rawsweep re-probed
+    lane_slice under the raw-offset path and it still loses ~2 ms/call
+    at both M classes, and killed (2,8) tiles on escape rate). Override
+    with FLAIR_DCN_TILE="ty,tx,pty_pad,ptx,ntb[,lane]" to flip on a
+    tools/profile_ops.py `tile`/`rawsweep` winner without code edits —
     ``pty_pad`` is ADDED to the M-derived patch height (so one env value
     serves both the SR3 M=5/pty=16 and ADM M=10/pty=24 routings).
-    ``ca`` is the per-anchor channel width (cin // 2)."""
+    ``ca`` is the per-anchor channel width (cin // 2).
+
+    ``int8_dots`` (FLAIR_DCN_INT8=0 to disable): run the window dots at
+    the MXU's int8 rate — see ops/dcn_pallas.deform_conv2d_tile and the
+    PERF.md round-5 measurements for the rate/accuracy trade."""
     import os
 
+    # default OFF until the round-5 rate/accuracy measurements land;
+    # flipped by the measured decision in PERF.md round 5
+    int8 = os.environ.get("FLAIR_DCN_INT8", "0") == "1"
     env = os.environ.get("FLAIR_DCN_TILE")
     if not env:
         # ntb: measured per shape class (bigntb probe, PERF.md round 3) —
@@ -59,7 +85,7 @@ def _tile_config(pty: int, ca: int = 64):
         # ntb=16 (67.5 vs 74.3 at ntb8). The tall ADM patch (pty>16) also
         # rides ntb=8: ntb=16 needs 17.64 M scoped VMEM (16 M limit).
         ntb = 8 if (ca == 128 or pty > 16) else 16
-        return (2, 4), (pty, 32), ntb, False
+        return (2, 4), (pty, 32), ntb, False, int8
     try:
         parts = [p.strip() for p in env.split(",")]
         ty, tx, pty_pad, ptx, ntb = (int(p) for p in parts[:5])
@@ -73,8 +99,8 @@ def _tile_config(pty: int, ca: int = 64):
             "FLAIR_DCN_TILE=%r is malformed (want "
             "'ty,tx,pty_pad,ptx,ntb[,lane]'); using the default tile "
             "config", env)
-        return (2, 4), (pty, 32), 16, False
-    return (ty, tx), (pty + pty_pad, ptx), ntb, lane
+        return (2, 4), (pty, 32), 16, False, int8
+    return (ty, tx), (pty + pty_pad, ptx), ntb, lane, int8
 
 Array = jax.Array
 
@@ -187,6 +213,22 @@ class ResidualBlocksWithInputConv(nn.Module):
         return x
 
 
+def _offset_perm(g: int) -> tuple:
+    """Static output-channel permutation making offset_out's y/x offset
+    planes contiguous. The reference layout natively interleaves
+    (group, tap, y|x) per anchor half (unet.py:636-645); permuting the
+    conv KERNEL columns instead of the activation makes the downstream
+    raw_y/raw_x/mask blocks free contiguous slices."""
+    nch = 27 * g  # = (g/2 groups)·9 taps·2 comps per half + 9g mask
+    ko = 9 * (g // 2)
+    base_c = np.arange(ko) * 2          # y channels within one half
+    return tuple(np.concatenate([
+        base_c, 2 * ko + base_c,              # y: half1, half2
+        base_c + 1, 2 * ko + base_c + 1,      # x: half1, half2
+        np.arange(4 * ko, nch),               # mask block unchanged
+    ]).tolist())
+
+
 class _PermutedOutConv(nn.Module):
     """3×3 SAME conv whose OUTPUT channels are permuted at weight-apply
     time. Param tree identical to ``nn.Conv`` (kernel/bias, zero-init), so
@@ -216,6 +258,123 @@ class _PermutedOutConv(nn.Module):
         return y + bias
 
 
+def _auto_patch_size(dcn_patch_size, mrm: float) -> Optional[int]:
+    if dcn_patch_size == "auto":
+        return min(2 * math.ceil(mrm) + 4, 16)
+    return dcn_patch_size
+
+
+def apply_deform_align(
+    x: Array,
+    raw_y: Array,
+    raw_x: Array,
+    mask_logits: Array,
+    flow_1,
+    flow_2,
+    weight: Array,
+    bias: Array,
+    *,
+    max_residue_magnitude: float,
+    dcn_patch_size: Any = "auto",
+    dcn_impl: str = "auto",
+    dtype: Any = jnp.float32,
+) -> Array:
+    """Pure deformable-conv dispatch shared by the module and the scanned
+    branch: PRE-ACTIVATION offset/mask channel blocks + per-anchor flow
+    planes in, aligned features out (unet.py:646-661 semantics).
+
+    ``x``: (B, H, W, 2C) = cat(prop_n1, prop_n2); ``raw_y``/``raw_x``:
+    (B, H, W, G·K) pre-tanh residue blocks in (half, group, tap) channel
+    order; ``mask_logits``: (B, H, W, G·K) pre-sigmoid; ``flow_1``/
+    ``flow_2``: (fx, fy) tuples of (B, H, W) component planes. The raw
+    blocks stay channel-flat all the way into the tile kernel's lane
+    permute (materialized (…,g,9) offsets cost a K=9-minor padded-layout
+    copy per call, round-4 trace); fallback paths materialize offsets via
+    ``_materialize_raw`` (same per-element op order)."""
+    g = raw_y.shape[3] // 9
+    f1x, f1y = flow_1
+    f2x, f2y = flow_2
+    use_tile = dcn_impl == "tile" or (
+        dcn_impl == "auto" and jax.default_backend() == "tpu"
+    )
+    # the gate must imply EVERY deform_conv2d_tile precondition, so odd
+    # resolutions fall back to the patch path instead of tracing into a
+    # kernel AssertionError. For config (ty,tx)/(pty,ptx)/ntb:
+    #   h%ty==0, w%tx==0, ca=cin/2 ∈ {64,128},
+    #   ptx % (16·xpack) == 0 and (w + 2·ptx) % (8·xpack) == 0 (HBM
+    #   sublane tiling of the padded packed operand; xpack = 128/ca),
+    #   n_tiles = b·(h/ty)·(w/tx) divisible by ntb.
+    _pty0 = 16 if max_residue_magnitude <= 5 else 24
+    (_ty, _tx), (_, _ptx), _ntb, _, _ = _tile_config(
+        _pty0, x.shape[-1] // 2)
+    if use_tile and x.shape[1] % _ty == 0 and x.shape[2] % _tx == 0 \
+            and x.shape[-1] // 2 in (64, 128):
+        _ca = x.shape[-1] // 2
+        _xpack = 128 // _ca
+        _align = 8 * _xpack
+        _n_tiles = (x.shape[0] * (x.shape[1] // _ty)
+                    * (x.shape[2] // _tx))
+        use_tile = (
+            _ptx % (16 * _xpack) == 0
+            and (x.shape[2] + 2 * _ptx) % _align == 0
+            and _n_tiles % _ntb == 0
+        )
+    else:
+        use_tile = False
+    if use_tile and dcn_impl == "auto" and not _TILE_NOTICE:
+        # surface the silent accuracy trade (ADVICE r2): the tile kernel
+        # zeroes bilinear supports that escape their patch (measured
+        # ≤2e-3 under realistic offsets, PERF.md); parity-critical runs
+        # should force dcn_impl='patch' / --exact-dcn
+        _TILE_NOTICE.append(True)
+        import logging
+
+        logging.getLogger("flair_tpu").info(
+            "dcn_impl='auto' on TPU selects the tile-anchored Pallas DCN "
+            "kernel (conditionally exact: out-of-patch bilinear supports "
+            "contribute zero; use dcn_impl='patch' for exact parity)"
+        )
+    # per-anchor flow planes, (B,H,W,A) in (half1, half2) order — the
+    # ONLY flow materializations on the tile path (they double as the
+    # kernel's patch anchors)
+    flow_y = jnp.stack([f1y, f2y], axis=-1).astype(jnp.float32)
+    flow_x = jnp.stack([f1x, f2x], axis=-1).astype(jnp.float32)
+    # value path runs in the module dtype (the reference runs the trunk —
+    # including deform_conv2d — in fp16, sr3.py:528-541); offsets/mask
+    # stay f32 and the coords are kept f32 inside the kernel
+    if use_tile:
+        pty = 16 if max_residue_magnitude <= 5 else 24
+        tile_t, patch_p, ntb_n, lane, int8 = _tile_config(
+            pty, x.shape[-1] // 2)
+        y = deform_conv2d_tile_raw_ad(
+            x.astype(dtype), raw_y, raw_x, mask_logits,
+            flow_y, flow_x,
+            weight, bias, float(max_residue_magnitude),
+            tile_t, patch_p, ntb_n, lane, int8,
+        )
+        return y.astype(x.dtype)
+    # fallback paths take stacked (B,H,W,g,9,2) offsets + 5-D mask
+    off, mask = _materialize_raw(
+        raw_y, raw_x, mask_logits, flow_y, flow_x,
+        max_residue_magnitude)
+    ps = _auto_patch_size(dcn_patch_size, max_residue_magnitude)
+    if ps is not None:
+        # fast path: one (ps,ps,C/2) patch per (pixel, flow half) anchored
+        # at floor(flow) covers all taps' bilinear corners (PERF.md)
+        anchor = jnp.stack(
+            [flow_y, flow_x], axis=-1
+        )  # (B,H,W,A,2) in (dy,dx)
+        y = deform_conv2d_patch(
+            x.astype(dtype), anchor, off, weight, bias,
+            mask=mask, patch_size=ps,
+        )
+    else:
+        y = modulated_deform_conv2d(
+            x.astype(dtype), off, mask, weight, bias, padding=1
+        )
+    return y.astype(x.dtype)
+
+
 class SecondOrderDeformableAlignment(nn.Module):
     """Flow-guided second-order deformable alignment (unet.py:598-661).
 
@@ -230,6 +389,12 @@ class SecondOrderDeformableAlignment(nn.Module):
     (what the scanned production path passes) avoids every lane-minor
     (…, 2) materialization and strided component re-slice between the
     scan xs and the kernel (each ~8 ms/step of async DMA at 512²).
+
+    The scanned production path (``_run_branch``) does not call this
+    module — it applies the same math through ``apply_deform_align`` with
+    the frame-batchable half of ``offset_conv0`` hoisted out of the scan;
+    this module remains the reference formulation for direct callers and
+    parity tests (single conv over the full cat, no split).
     """
 
     features: int  # C (output channels)
@@ -248,13 +413,6 @@ class SecondOrderDeformableAlignment(nn.Module):
     #   "patch" -> force the XLA patch-gather path
     dcn_impl: str = "auto"
     dtype: Any = jnp.float32
-
-    def _patch_size(self) -> Optional[int]:
-        if self.dcn_patch_size == "auto":
-            import math
-
-            return min(2 * math.ceil(self.max_residue_magnitude) + 4, 16)
-        return self.dcn_patch_size
 
     @nn.compact
     def __call__(
@@ -279,31 +437,10 @@ class SecondOrderDeformableAlignment(nn.Module):
                 dtype=self.dtype, param_dtype=jnp.float32, name=f"offset_conv{i}",
             )(h)
             h = leaky_relu(h, 0.1)
-        # offset_out channels natively interleave (group, tap, y|x) per
-        # anchor half (reference layout, unet.py:636-645); permute the conv
-        # WEIGHT so the y/x planes come out contiguous — the (B,H,W,G,K,2)
-        # stack + two stride-2 slices the DCN coordinate prep paid per call
-        # become free contiguous slices (split offsets feed the tile kernel
-        # directly; the stacked form is rebuilt only for the fallbacks)
-        import numpy as _np
-
-        nch = 27 * g  # = (g/2 groups)·9 taps·2 comps per half + 9g mask
-        ko = 9 * (g // 2)
-        base_c = _np.arange(ko) * 2          # y channels within one half
-        perm = tuple(_np.concatenate([
-            base_c, 2 * ko + base_c,              # y: half1, half2
-            base_c + 1, 2 * ko + base_c + 1,      # x: half1, half2
-            _np.arange(4 * ko, nch),              # mask block unchanged
-        ]).tolist())
         out = _PermutedOutConv(
-            nch, perm, dtype=self.dtype, name="offset_out")(h)
-        b, hh, ww, _ = out.shape
+            27 * g, _offset_perm(g), dtype=self.dtype, name="offset_out")(h)
+        ko = 9 * (g // 2)
         # PRE-ACTIVATION channel blocks, channel order (half, group, tap).
-        # They stay raw + channel-flat all the way into the tile kernel's
-        # lane permute: materialized (…,g,9) offsets get a K=9-minor
-        # padded layout (+32 ms copy +30 ms reshape per tensor per 512²
-        # call, round-4 trace), and f32 offsets force a 3-pass
-        # Precision.HIGH permute where raw bf16 rides a single-pass dot.
         raw_y = out[..., :2 * ko]
         raw_x = out[..., 2 * ko:4 * ko]
         mask_logits = out[..., 4 * ko:]
@@ -315,164 +452,244 @@ class SecondOrderDeformableAlignment(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        # value path runs in the module dtype (the reference runs the trunk —
-        # including deform_conv2d — in fp16, sr3.py:528-541); offsets/mask
-        # stay f32 and the coords are kept f32 inside the kernel
-        use_tile = self.dcn_impl == "tile" or (
-            self.dcn_impl == "auto" and jax.default_backend() == "tpu"
-        )
-        # the gate must imply EVERY deform_conv2d_tile precondition, so odd
-        # resolutions fall back to the patch path instead of tracing into a
-        # kernel AssertionError. For config (ty,tx)/(pty,ptx)/ntb:
-        #   h%ty==0, w%tx==0, ca=cin/2 ∈ {64,128},
-        #   ptx % (16·xpack) == 0 and (w + 2·ptx) % (8·xpack) == 0 (HBM
-        #   sublane tiling of the padded packed operand; xpack = 128/ca),
-        #   n_tiles = b·(h/ty)·(w/tx) divisible by ntb.
-        _pty0 = 16 if self.max_residue_magnitude <= 5 else 24
-        (_ty, _tx), (_, _ptx), _ntb, _ = _tile_config(
-            _pty0, x.shape[-1] // 2)
-        if use_tile and x.shape[1] % _ty == 0 and x.shape[2] % _tx == 0 \
-                and x.shape[-1] // 2 in (64, 128):
-            _ca = x.shape[-1] // 2
-            _xpack = 128 // _ca
-            _align = 8 * _xpack
-            _n_tiles = (x.shape[0] * (x.shape[1] // _ty)
-                        * (x.shape[2] // _tx))
-            use_tile = (
-                _ptx % (16 * _xpack) == 0
-                and (x.shape[2] + 2 * _ptx) % _align == 0
-                and _n_tiles % _ntb == 0
-            )
-        else:
-            use_tile = False
-        if use_tile and self.dcn_impl == "auto" and not _TILE_NOTICE:
-            # surface the silent accuracy trade (ADVICE r2): the tile kernel
-            # zeroes bilinear supports that escape their patch (measured
-            # ≤2e-3 under realistic offsets, PERF.md); parity-critical runs
-            # should force dcn_impl='patch' / --exact-dcn
-            _TILE_NOTICE.append(True)
-            import logging
-
-            logging.getLogger("flair_tpu").info(
-                "dcn_impl='auto' on TPU selects the tile-anchored Pallas DCN "
-                "kernel (conditionally exact: out-of-patch bilinear supports "
-                "contribute zero; use dcn_impl='patch' for exact parity)"
-            )
-        # per-anchor flow planes, (B,H,W,A) in (half1, half2) order — the
-        # ONLY flow materializations on the tile path (they double as the
-        # kernel's patch anchors)
-        flow_y = jnp.stack([f1y, f2y], axis=-1).astype(jnp.float32)
-        flow_x = jnp.stack([f1x, f2x], axis=-1).astype(jnp.float32)
-        if use_tile:
-            pty = 16 if self.max_residue_magnitude <= 5 else 24
-            tile_t, patch_p, ntb_n, lane = _tile_config(
-                pty, x.shape[-1] // 2)
-            y = deform_conv2d_tile_raw_ad(
-                x.astype(self.dtype), raw_y, raw_x, mask_logits,
-                flow_y, flow_x,
-                weight, bias, float(self.max_residue_magnitude),
-                tile_t, patch_p, ntb_n, lane,
-            )
-            return y.astype(x.dtype)
-        # fallback paths take stacked (B,H,W,g,9,2) offsets + 5-D mask
-        off, mask = _materialize_raw(
-            raw_y, raw_x, mask_logits, flow_y, flow_x,
-            self.max_residue_magnitude)
-        ps = self._patch_size()
-        if ps is not None:
-            # fast path: one (ps,ps,C/2) patch per (pixel, flow half) anchored
-            # at floor(flow) covers all taps' bilinear corners (PERF.md)
-            anchor = jnp.stack(
-                [flow_y, flow_x], axis=-1
-            )  # (B,H,W,A,2) in (dy,dx)
-            y = deform_conv2d_patch(
-                x.astype(self.dtype), anchor, off, weight, bias,
-                mask=mask, patch_size=ps,
-            )
-        else:
-            y = modulated_deform_conv2d(
-                x.astype(self.dtype), off, mask, weight, bias, padding=1
-            )
-        return y.astype(x.dtype)
+        return apply_deform_align(
+            x, raw_y, raw_x, mask_logits, (f1x, f1y), (f2x, f2y),
+            weight, bias,
+            max_residue_magnitude=self.max_residue_magnitude,
+            dcn_patch_size=self.dcn_patch_size, dcn_impl=self.dcn_impl,
+            dtype=self.dtype)
 
 
-class _PropStep(nn.Module):
-    """One step of a propagation branch, scanned over frames."""
+class _ConvP(nn.Module):
+    """Registers nn.Conv-compatible params (f32 kernel + zero bias, same
+    names/shapes/inits) and returns them RAW instead of applying — the
+    scanned branch applies them functionally so kernel slices can hoist
+    out of the recurrence while converted checkpoints load unchanged."""
 
-    features: int
-    max_residue_magnitude: float
-    deform_groups: int = 16
-    dcn_patch_size: Any = "auto"
-    dcn_impl: str = "auto"
-    dtype: Any = jnp.float32
+    shape: tuple  # (kh, kw, cin, cout)
+    zero_kernel: bool = False
 
     @nn.compact
-    def __call__(self, carry, xs):
-        prop_n1, prop_n2 = carry
-        feat_current, extra, flow_n1, flow_n2, weight_t, idx = xs
-        # flows/weights arrive component-packed (B, 2|1, H, W) — a trailing
-        # size-2/1 lane dim on the scan's stacked xs makes XLA materialize
-        # 64-128×-padded remat copies (measured: two 2.5 G copies of
-        # f32[T,B,H,W,2] per step at 512²). The components stay SEPARATE
-        # (B, H, W) planes from here to the warp/kernel — re-packing them
-        # channel-last just to re-slice cost ~8 ms/step of strided async
-        # DMA per consumer at 512² (round-4 trace)
-        f1x, f1y = flow_n1[:, 0], flow_n1[:, 1]
-        f2x, f2y = flow_n2[:, 0], flow_n2[:, 1]
-        weight_t = jnp.moveaxis(weight_t, 1, -1)
-        c = self.features
+    def __call__(self):
+        kinit = (nn.initializers.zeros if self.zero_kernel
+                 else nn.initializers.lecun_normal())
+        k = self.param("kernel", kinit, self.shape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.shape[-1],), jnp.float32)
+        return k, b
 
-        align = SecondOrderDeformableAlignment(
-            c,
-            deform_groups=self.deform_groups,
-            max_residue_magnitude=self.max_residue_magnitude,
-            dcn_patch_size=self.dcn_patch_size,
-            dcn_impl=self.dcn_impl,
-            dtype=self.dtype,
-            name="deform_align",
-        )
+
+class _AlignParams(nn.Module):
+    """SecondOrderDeformableAlignment's param tree (paths/shapes/inits
+    identical to the module form; converter map utils/convert.py:339-356)."""
+
+    features: int
+    deform_groups: int
+
+    @nn.compact
+    def __call__(self):
+        c, g = self.features, self.deform_groups
+        return {
+            "offset_conv0": _ConvP((3, 3, 3 * c + 4, c),
+                                   name="offset_conv0")(),
+            "offset_conv1": _ConvP((3, 3, c, c), name="offset_conv1")(),
+            "offset_conv2": _ConvP((3, 3, c, c), name="offset_conv2")(),
+            "offset_out": _ConvP((3, 3, c, 27 * g), zero_kernel=True,
+                                 name="offset_out")(),
+            "weight": self.param(
+                "weight", nn.initializers.lecun_normal(),
+                (3, 3, 2 * c, c), jnp.float32),
+            "bias": self.param(
+                "bias", nn.initializers.zeros, (c,), jnp.float32),
+        }
+
+
+class _Block0Params(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+        return {"conv1": _ConvP((3, 3, c, c), name="conv1")(),
+                "conv2": _ConvP((3, 3, c, c), name="conv2")()}
+
+
+class _BackboneParams(nn.Module):
+    """ResidualBlocksWithInputConv(num_blocks=1) param tree."""
+
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "conv_in": _ConvP((3, 3, self.in_ch, self.features),
+                              name="conv_in")(),
+            "block0": _Block0Params(self.features, name="block0")(),
+        }
+
+
+class _BranchParams(nn.Module):
+    """One propagation branch's params (deform_align + backbone), with the
+    exact scope paths the r1-r4 nn.scan tree produced under
+    backward_1/forward_1."""
+
+    features: int
+    conv_in_ch: int  # backbone conv_in input channels (2C bwd, 3C fwd)
+    deform_groups: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "align": _AlignParams(self.features, self.deform_groups,
+                                  name="deform_align")(),
+            "backbone": _BackboneParams(self.features, self.conv_in_ch,
+                                        name="backbone")(),
+        }
+
+
+def _run_branch(
+    p: dict,
+    feats_t: Array,
+    extra_t: Optional[Array],
+    f1_t: Array,
+    f2_t: Array,
+    w_t: Array,
+    idxs: Array,
+    *,
+    deform_groups: int,
+    max_residue_magnitude: float,
+    dcn_patch_size: Any,
+    dcn_impl: str,
+    dtype: Any,
+) -> Array:
+    """One propagation branch (unet.py:440-492) as a pure ``lax.scan``.
+
+    All inputs time-major (already reversed for the backward branch):
+    ``feats_t`` (T, B, H, W, C) current features; ``extra_t`` (T, B, H, W,
+    C) backward-branch output for the forward branch, None for the
+    backward branch; ``f1_t``/``f2_t`` (T, B, 2, H, W) component-packed
+    first/second-order flows (packed: a trailing size-2 lane dim on scan
+    xs costs 64×-padded remat copies, round-3 trace); ``w_t`` (T, B, k,
+    H, W) packed gating. Returns the stacked per-frame outputs
+    (T, B, H, W, C).
+
+    The hoist (round-5): the offset stack's first conv consumes
+    cat(cond_n1, feat_current, cond_n2, f1x, f1y, f2x, f2y)
+    (unet.py:620-645) and the backbone input conv consumes
+    cat(feat_current, extra, prop) (unet.py:659-668). By conv linearity
+    over input-channel blocks, the ``feat_current``/flows/``extra``
+    contributions — scan xs, not carry — are computed here for ALL T
+    frames in one batched conv per branch; only the warped-carry halves
+    (cat(cond_n1, cond_n2) resp. prop) stay inside the scan."""
+    t_, b, h, w, c = feats_t.shape
+    g = deform_groups
+    dt = dtype
+
+    def conv(v, k):
+        return lax.conv_general_dilated(
+            v.astype(dt), k.astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    k0, b0 = p["align"]["offset_conv0"]
+    k1, b1 = p["align"]["offset_conv1"]
+    k2, b2 = p["align"]["offset_conv2"]
+    ko, bo = p["align"]["offset_out"]
+    wal, bal = p["align"]["weight"], p["align"]["bias"]
+    kin, bin_ = p["backbone"]["conv_in"]
+    kb1, bb1 = p["backbone"]["block0"]["conv1"]
+    kb2, bb2 = p["backbone"]["block0"]["conv2"]
+
+    # offset_out with the output-channel permutation folded into the
+    # kernel (see _PermutedOutConv — identical math)
+    perm = jnp.asarray(_offset_perm(g), jnp.int32)
+    ko_p = jnp.take(ko, perm, axis=3)
+    bo_p = jnp.take(bo, perm, axis=0)
+
+    e = 0 if extra_t is None else extra_t.shape[-1]
+
+    # ---- hoisted frame-batched halves (outside the recurrence) ----------
+    # offset_conv0 channel blocks: [0:C)=cond_n1, [C:2C)=feat_current,
+    # [2C:3C)=cond_n2, [3C:3C+4)=flows
+    fl = jnp.concatenate(
+        [jnp.moveaxis(f1_t, 2, -1), jnp.moveaxis(f2_t, 2, -1)], axis=-1
+    ).astype(dt)  # (T,B,H,W,4), channels (f1x, f1y, f2x, f2y)
+    k0_xs = jnp.concatenate([k0[:, :, c:2 * c], k0[:, :, 3 * c:]], axis=2)
+    h0_xs = conv(
+        jnp.concatenate([feats_t.astype(dt), fl], axis=-1)
+        .reshape(t_ * b, h, w, c + 4),
+        k0_xs) + b0.astype(dt)
+    # backbone conv_in blocks: [0:C)=feat_current, [C:C+e)=extra,
+    # [C+e:2C+e)=prop
+    bb_in = (feats_t if e == 0
+             else jnp.concatenate([feats_t, extra_t], axis=-1))
+    bb_xs = conv(bb_in.reshape(t_ * b, h, w, c + e),
+                 kin[:, :, :c + e]) + bin_.astype(dt)
+    # one packed (…, 2C) xs: full 128 lanes at the 512²/C=64 sites (two
+    # separate C=64 bf16 xs would each pad 2× in the scan's stacked form)
+    hoist_t = jnp.concatenate([h0_xs, bb_xs], axis=-1).reshape(
+        t_, b, h, w, 2 * c)
+
+    k0_ser = jnp.concatenate([k0[:, :, :c], k0[:, :, 2 * c:3 * c]], axis=2)
+    kin_ser = kin[:, :, c + e:]
+
+    def body(carry, xs):
+        prop_n1, prop_n2 = carry
+        hoist, f1, f2, wt, idx = xs
+        f1x, f1y = f1[:, 0], f1[:, 1]
+        f2x, f2y = f2[:, 0], f2[:, 1]
+        wt = jnp.moveaxis(wt, 1, -1)
 
         # the reference computes the full alignment for the FIRST scanned
         # frame too and multiplies it by zero (unet.py:471-489 `if idx > 0`
-        # guard is outside the flow/DCN math in the scanned formulation);
-        # lax.cond skips the three flow warps + offset convs + deformable
-        # conv at runtime for that frame — identical output (zeros), ~10%
-        # of the per-step DCN cost at win=10
-        def _do_align(mod):
-            # flow_n2 arrives PRE-COMPOSED (second-order composition is
-            # window-constant — compose_second_order_flows), so the scan
-            # body does no flow warping beyond the feature warp below
+        # guard); lax.cond skips the warps + offset convs + deformable
+        # conv at runtime for that frame — identical output (zeros)
+        def _do_align(_):
+            # flow_n2 arrives PRE-COMPOSED (compose_second_order_flows);
             # warp both propagated feature sets in ONE batched gather
-            # (identical math to two flow_warp calls — per-batch-element
-            # independent): halves the feature-warp launch/fixed cost,
-            # which profile_step showed dominating the 0.69 s/step
-            # flow_warp bucket
             both = flow_warp(
                 jnp.concatenate([prop_n1, prop_n2], axis=0),
                 (jnp.concatenate([f1x, f2x], axis=0),
                  jnp.concatenate([f1y, f2y], axis=0)),
             )
             cond_n1, cond_n2 = jnp.split(both, 2, axis=0)
-            cond = jnp.concatenate(
-                [cond_n1, feat_current, cond_n2], axis=-1)
-            packed = jnp.concatenate([prop_n1, prop_n2], axis=-1)
-            return mod(packed, cond, (f1x, f1y),
-                       (f2x, f2y)).astype(prop_n1.dtype)
+            hh = conv(jnp.concatenate([cond_n1, cond_n2], axis=-1), k0_ser)
+            hh = leaky_relu(hh + hoist[..., :c], 0.1)
+            hh = leaky_relu(conv(hh, k1) + b1.astype(dt), 0.1)
+            hh = leaky_relu(conv(hh, k2) + b2.astype(dt), 0.1)
+            out = conv(hh, ko_p) + bo_p.astype(dt)
+            koff = 9 * (g // 2)
+            return apply_deform_align(
+                jnp.concatenate([prop_n1, prop_n2], axis=-1),
+                out[..., :2 * koff], out[..., 2 * koff:4 * koff],
+                out[..., 4 * koff:],
+                (f1x, f1y), (f2x, f2y), wal, bal,
+                max_residue_magnitude=max_residue_magnitude,
+                dcn_patch_size=dcn_patch_size, dcn_impl=dcn_impl,
+                dtype=dt).astype(prop_n1.dtype)
 
-        def _skip_align(mod):
-            return jnp.zeros(prop_n1.shape[:-1] + (c,), prop_n1.dtype)
+        prop = lax.cond(
+            idx > 0, _do_align,
+            lambda _: jnp.zeros(prop_n1.shape[:-1] + (c,), prop_n1.dtype),
+            None)
+        # backbone: lrelu(conv_in) + ResidualBlockNoBN (serial half of
+        # conv_in = the prop block; feat/extra half arrives via hoist)
+        r = leaky_relu(conv(prop, kin_ser) + hoist[..., c:], 0.1)
+        rb = conv(jax.nn.relu(conv(r, kb1) + bb1.astype(dt)), kb2) \
+            + bb2.astype(dt)
+        prop_out = ((prop + (r + rb)) * wt.astype(prop.dtype)) \
+            .astype(prop_n1.dtype)
+        return (prop_out, prop_n1), prop_out
 
-        if self.is_initializing():
-            prop = _do_align(align)  # create align variables unconditionally
-        else:
-            prop = nn.cond(idx > 0, _do_align, _skip_align, align)
-
-        feat_in = jnp.concatenate([feat_current, extra, prop], axis=-1)
-        prop = prop + ResidualBlocksWithInputConv(
-            c, 1, dtype=self.dtype, name="backbone"
-        )(feat_in)
-        prop = prop * weight_t
-        return (prop, prop_n1), prop
+    init = (
+        jnp.zeros((b, h, w, c), feats_t.dtype),
+        jnp.zeros((b, h, w, c), feats_t.dtype),
+    )
+    # NOTE: feats_t/extra_t are NOT scan xs — after the hoist their only
+    # consumers are the batched convs above, so the scan stages neither
+    # (T, B, H, W, C) stream (the r4 nn.scan staged both per branch)
+    _, ys = lax.scan(body, init, (hoist_t, f1_t, f2_t, w_t, idxs))
+    return ys
 
 
 class BasicVSRPP(nn.Module):
@@ -526,46 +743,39 @@ class BasicVSRPP(nn.Module):
             flows_forward2, flows_backward2 = compose_second_order_flows(
                 flows_forward, flows_backward)
 
+        # branch params: shell modules register the exact r1-r4 tree
+        # (converted checkpoints + archived goldens load unchanged); the
+        # scan itself is a pure function over the raw arrays
+        pb = _BranchParams(c, 2 * c, self.deform_groups,
+                           name="backward_1")()
+        pf = _BranchParams(c, 3 * c, self.deform_groups,
+                           name="forward_1")()
+        cfg = dict(
+            deform_groups=self.deform_groups,
+            max_residue_magnitude=self.max_residue_magnitude,
+            dcn_patch_size=self.dcn_patch_size,
+            dcn_impl=self.dcn_impl,
+            dtype=self.dtype,
+        )
+
         # scan xs with a trailing 2/1-wide dim are stored component-packed
-        # (T, B, 2|1, H, W) — see _PropStep.__call__ for why
+        # (T, B, 2|1, H, W) — see _run_branch for why
         def pack(v):  # (T*, B, H, W, k) -> (T*, B, k, H, W)
             return jnp.moveaxis(v, -1, 2)
-
-        scan = nn.scan(
-            _PropStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-        )
 
         # --- backward branch: frames T-1 → 0 --------------------------------
         # flow_n1 at position i (frame j=T-1-i) is flows_backward[:, j];
         # flow_n2 is the PRE-COMPOSED second-order flow for frame j.
         fb = jnp.moveaxis(flows_backward, 1, 0)  # (T-1, B, H, W, 2)
-        # step i processes frame j = T-1-i; flow_n1 = flows_backward[j]
-        # (zeros at i=0)
         fb_n1 = jnp.concatenate(
             [fb, jnp.moveaxis(zeros_flow, 1, 0)], axis=0
         )[::-1]
         fb_n2 = jnp.moveaxis(flows_backward2, 1, 0)[::-1]
         feats_rev = jnp.moveaxis(hidden, 1, 0)[::-1]
         w_rev = jnp.moveaxis(weight, 1, 0)[::-1]
-        extra_empty = jnp.zeros((t, b, h, w, 0), hidden.dtype)
-        init = (
-            jnp.zeros((b, h, w, c), hidden.dtype),
-            jnp.zeros((b, h, w, c), hidden.dtype),
-        )
-        _, bwd = scan(
-            self.features,
-            self.max_residue_magnitude,
-            self.deform_groups,
-            self.dcn_patch_size,
-            self.dcn_impl,
-            self.dtype,
-            name="backward_1",
-        )(init, (feats_rev, extra_empty, pack(fb_n1), pack(fb_n2),
-                 pack(w_rev), idxs))
+        bwd = _run_branch(
+            pb, feats_rev, None, pack(fb_n1), pack(fb_n2), pack(w_rev),
+            idxs, **cfg)
         bwd = jnp.moveaxis(bwd[::-1], 0, 1)  # (B, T, H, W, C)
 
         # --- forward branch: frames 0 → T-1 ---------------------------------
@@ -574,17 +784,9 @@ class BasicVSRPP(nn.Module):
         ff_n2 = jnp.moveaxis(flows_forward2, 1, 0)
         feats_fwd = jnp.moveaxis(hidden, 1, 0)
         extra_fwd = jnp.moveaxis(bwd, 1, 0)
-        w_fwd = jnp.moveaxis(weight, 1, 0)
-        _, fwd = scan(
-            self.features,
-            self.max_residue_magnitude,
-            self.deform_groups,
-            self.dcn_patch_size,
-            self.dcn_impl,
-            self.dtype,
-            name="forward_1",
-        )(init, (feats_fwd, extra_fwd, pack(ff_n1), pack(ff_n2),
-                 pack(w_fwd), idxs))
+        fwd = _run_branch(
+            pf, feats_fwd, extra_fwd, pack(ff_n1), pack(ff_n2),
+            pack(jnp.moveaxis(weight, 1, 0)), idxs, **cfg)
         fwd = jnp.moveaxis(fwd, 0, 1)
 
         # --- reconstruction (unet.py:494-530) -------------------------------
