@@ -50,10 +50,11 @@ Array = jax.Array
 def _dcn_tile_kernel(
     anchors_ref,      # (1, NTB*A*3) int32 SMEM: (b, ay, ax) per (tile, a)
     anchors_nxt_ref,  # same array, block i+1 (DMA lookahead)
+    scale_ref,        # (1, 1) f32 SMEM: int8 dequant factor (1.0 if bf16)
     ry_ref,           # (1, NTB*A, R) f32; R = KK*TPIX*GA lanes, (k, p, g)
     rx_ref,           # (1, NTB*A, R) f32
     mw_ref,           # (1, NTB*A, R) f32 modulation (1.0 if unmasked)
-    xh_ref,           # (B*A, Hp, Wp/XP, 128) bf16 in ANY/HBM (x-pair packed)
+    xh_ref,           # (B*A, Hp, Wp/XP, 128) bf16|int8 ANY/HBM (x-packed)
     wall_ref,         # (A*KK, 128, Cout) bf16 VMEM (parity-duplicated)
     out_ref,          # (1, NPIXB, Cout)
     patch_ref,        # (2, NTB, A, PTY, PTXP, 128) VMEM scratch
@@ -64,6 +65,7 @@ def _dcn_tile_kernel(
     ntb: int, a: int, ga: int, kk: int, pty: int, ptx: int, xpack: int,
     ca: int, cg: int, cout: int, tpix: int, n_steps: int, ablate: str = "",
     lane_slice: bool = False, bc: int = 0, ntb2: int = 0,
+    int8_dots: bool = False,
 ):
     i = pl.program_id(0)
     r = kk * tpix * ga
@@ -171,10 +173,19 @@ def _dcn_tile_kernel(
                                 jnp.maximum(
                                     0.0, 1.0 - jnp.abs(rx - v_row)
                                 )[None], (pty, ptxp, bc)).reshape(uvp, bc)
-                            w2 = (wy * wx).astype(jnp.bfloat16)  # (UVP, bc)
+                            if int8_dots:
+                                # w2 ∈ [0,1]: fixed-scale int8 (exact zero
+                                # stays zero; ±1/254 absolute on the ≤4
+                                # nonzero bilinear weights per row)
+                                w2 = jnp.round(
+                                    (wy * wx) * 127.0).astype(jnp.int8)
+                            else:
+                                w2 = (wy * wx).astype(jnp.bfloat16)
                         dots.append(lax.dot_general(
                             w2, rhs, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
+                            preferred_element_type=(
+                                jnp.int32 if int8_dots and
+                                ablate != "nobuild" else jnp.float32),
                         ))  # (bc, SW); sans lane_slice only par's Ca valid
                     if xpack == 1 or ablate == "onedot":
                         samp = dots[0]
@@ -183,6 +194,9 @@ def _dcn_tile_kernel(
                     else:
                         samp = jnp.where(
                             lane_par[rc:rc + bc] == 0, dots[0], dots[1])
+                    if int8_dots and ablate != "nobuild":
+                        # dequant: value scale · window scale (1/127 each)
+                        samp = samp.astype(jnp.float32) * scale_ref[0, 0]
                     samp_ref[tt, rc:rc + bc, :] = (
                         samp.astype(jnp.bfloat16) * gmask[rc:rc + bc])
 
@@ -208,7 +222,7 @@ def _dcn_tile_kernel(
     jax.jit,
     static_argnames=("tile", "patch", "ntb", "dilation", "interpret",
                      "ablate", "lane_slice", "build_chunk", "ntb2",
-                     "raw_mrm"),
+                     "raw_mrm", "int8_dots"),
 )
 def deform_conv2d_tile(
     x: Array,
@@ -229,6 +243,7 @@ def deform_conv2d_tile(
     lane_slice: bool = False,
     build_chunk: int | None = None,
     ntb2: int | None = None,
+    int8_dots: bool = False,
 ) -> Array:
     """Tile-anchored DCNv2 (Pallas). API matches ``deform_conv2d_patch``.
 
@@ -274,6 +289,16 @@ def deform_conv2d_tile(
                    build temporaries. Bounds scoped VMEM for big tiles.
       ntb2:        tiles per tap-contraction sub-batch (divides ntb);
                    None → largest with samp scratch ≤ ~4 MiB.
+      int8_dots:   execute the window dots at the MXU's int8 rate (2× the
+                   bf16 quantum on v5e): the value operand is quantized
+                   once per call against its global max (symmetric, ±127)
+                   and the in-kernel window weights (∈ [0,1], exact zeros
+                   preserved) ride a fixed 1/127 scale into an int32
+                   accumulation, dequantized before the bf16 tap
+                   contraction. Accuracy vs the bf16 dots is an extra
+                   ~0.5-1% relative sampling error (measured in
+                   tools/probe_int8.py / PERF.md round 5); the exactness
+                   contract (escape zeroing) is unchanged.
 
     Returns (B, H, W, Cout) in x.dtype.
     """
@@ -358,10 +383,25 @@ def deform_conv2d_tile(
     pad_y, pad_x = pty, ptx
     hp, wp = h + 2 * pad_y, w + 2 * pad_x
     assert pad_x % align == 0 and wp % align == 0
+    if int8_dots:
+        assert not ablate, "ablation modes run the bf16 dot path only"
+        # symmetric per-call quantization of the value operand: zeros
+        # (incl. the boundary padding below) stay exactly zero, so the
+        # escape/boundary semantics are unchanged
+        sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-20)
+        xsrc = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (127.0 / sx)),
+            -127, 127).astype(jnp.int8)
+        dq = (sx / (127.0 * 127.0)).reshape(1, 1).astype(jnp.float32)
+        dtp_patch = jnp.int8
+    else:
+        xsrc = x.astype(dtp)
+        dq = jnp.ones((1, 1), jnp.float32)
+        dtp_patch = dtp
     # pack xpack x-neighbours into the lane dim: (…, Wp/xpack, 128), lane
     # j = parity·Ca + channel — full 128-lane rows for tile-exact DMA
     xh = jnp.pad(
-        x.astype(dtp).reshape(b, h, w, a, ca).transpose(0, 3, 1, 2, 4),
+        xsrc.reshape(b, h, w, a, ca).transpose(0, 3, 1, 2, 4),
         ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x), (0, 0)),
     ).reshape(b * a, hp, wp // xpack, xpack * ca)
     ay = jnp.clip(ay + pad_y, 0, hp - pty)   # (B, nty, ntx, A)
@@ -486,6 +526,8 @@ def deform_conv2d_tile(
                 (1, 1, ntb * a * 3),
                 lambda i, n=n_steps: (jnp.minimum(i + 1, n - 1), 0, 0),
                 memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ntb * a, r), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ntb * a, r), lambda i: (i, 0, 0),
@@ -498,7 +540,7 @@ def deform_conv2d_tile(
         out_specs=pl.BlockSpec((1, npixb, cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, ntb, a, pty, ptx // xpack, 128), dtp),
+            pltpu.VMEM((2, ntb, a, pty, ptx // xpack, 128), dtp_patch),
             pltpu.VMEM((ntb2, r, sw), dtp),
             pltpu.VMEM((npixb, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, ntb, a)),
@@ -524,13 +566,14 @@ def deform_conv2d_tile(
         ntb=ntb, a=a, ga=ga, kk=kk, pty=pty, ptx=ptx, xpack=xpack,
         ca=ca, cg=cg, cout=cout, tpix=tpix, n_steps=n_steps, ablate=ablate,
         lane_slice=lane_slice, bc=build_chunk, ntb2=ntb2,
+        int8_dots=int8_dots,
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_steps, npixb, cout), dtp),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(anchors, anchors, ry_b, rx_b, mw_b, xh, wall)
+    )(anchors, anchors, dq, ry_b, rx_b, mw_b, xh, wall)
 
     out = (out.reshape(b, nty, ntx_t, ty, tx, cout)
               .transpose(0, 1, 3, 2, 4, 5)
@@ -660,10 +703,11 @@ deform_conv2d_tile_ad.defvjp(_tile_ad_fwd, _tile_ad_bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def deform_conv2d_tile_raw_ad(
     x, res_y, res_x, mask_logits, flow_y, flow_x,
     weight, bias, mrm, tile, patch, ntb, lane_slice=False,
+    int8_dots=False,
 ):
     """Differentiable raw-prep tile DCN: forward runs the Pallas kernel
     with the lane-space offset prep (``raw=``, single-pass bf16 permute);
@@ -675,7 +719,8 @@ def deform_conv2d_tile_raw_ad(
     return deform_conv2d_tile(
         x, (flow_y, flow_x), None, weight, bias,
         raw=(res_y, res_x, mask_logits, flow_y, flow_x), raw_mrm=mrm,
-        tile=tile, patch=patch, ntb=ntb, lane_slice=lane_slice)
+        tile=tile, patch=patch, ntb=ntb, lane_slice=lane_slice,
+        int8_dots=int8_dots)
 
 
 def _materialize_raw(res_y, res_x, mask_logits, flow_y, flow_x, mrm):
@@ -698,15 +743,16 @@ def _materialize_raw(res_y, res_x, mask_logits, flow_y, flow_x, mrm):
 
 def _tile_raw_ad_fwd(x, res_y, res_x, mask_logits,
                      flow_y, flow_x, weight, bias,
-                     mrm, tile, patch, ntb, lane_slice=False):
+                     mrm, tile, patch, ntb, lane_slice=False,
+                     int8_dots=False):
     out = deform_conv2d_tile_raw_ad(
         x, res_y, res_x, mask_logits, flow_y, flow_x,
-        weight, bias, mrm, tile, patch, ntb, lane_slice)
+        weight, bias, mrm, tile, patch, ntb, lane_slice, int8_dots)
     return out, (x, res_y, res_x, mask_logits,
                  flow_y, flow_x, weight, bias)
 
 
-def _tile_raw_ad_bwd(mrm, tile, patch, ntb, lane_slice, res, g):
+def _tile_raw_ad_bwd(mrm, tile, patch, ntb, lane_slice, int8_dots, res, g):
     from .deform import deform_conv2d_patch
 
     (x, res_y, res_x, mask_logits,

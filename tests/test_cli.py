@@ -123,7 +123,12 @@ def test_tile_config_env_fallbacks(monkeypatch):
     monkeypatch.setenv("FLAIR_DCN_TILE", "4x4,24,64,16")  # non-numeric
     assert _tile_config(16) == default
     monkeypatch.setenv("FLAIR_DCN_TILE", "4,8,8,64,8,lane")
-    assert _tile_config(16) == ((4, 8), (24, 64), 8, True)
+    assert _tile_config(16)[:4] == ((4, 8), (24, 64), 8, True)
+    # int8 window dots ride their own env toggle
+    monkeypatch.setenv("FLAIR_DCN_INT8", "1")
+    assert _tile_config(16)[4] is True
+    monkeypatch.setenv("FLAIR_DCN_INT8", "0")
+    assert _tile_config(16)[4] is False
 
 
 def test_cli_rejects_mismatched_clip_shapes(tmp_path, monkeypatch):

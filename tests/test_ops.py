@@ -758,6 +758,38 @@ class TestDCNTilePallas:
             **kwargs)
         assert jnp.array_equal(ref, out)
 
+    def test_int8_dots_match_exact_path_within_quant_budget(self):
+        """Round-5 int8 window dots (deform_conv2d_tile(int8_dots=True)):
+        the value operand quantizes symmetrically against its global max
+        and the in-kernel window weights ride a fixed 1/127 scale; the
+        result must stay within the documented ~1% relative budget of the
+        exact gather path (vs the bf16 kernel's ~0.3%)."""
+        import jax
+
+        from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+        from flair_tpu.ops.deform import deform_conv2d
+
+        x, flow, off, mask, wgt, bias = self._mk(
+            jax.random.PRNGKey(21), amp=1.5, M=2.0)
+        ref = deform_conv2d(x, off, wgt, bias, mask=mask)
+        out = deform_conv2d_tile(
+            x, flow, off, wgt, bias, mask=mask,
+            tile=(2, 4), patch=(16, 32), ntb=8, interpret=True,
+            int8_dots=True)
+        err = jnp.mean(jnp.abs(ref - out)) / jnp.mean(jnp.abs(ref))
+        assert float(err) < 0.03, float(err)
+        # and for the unpacked cin=256 class
+        x2, flow2, off2, mask2, wgt2, bias2 = self._mk(
+            jax.random.PRNGKey(22), h=16, w=32, cin=256, cout=128,
+            amp=1.5, M=2.0)
+        ref2 = deform_conv2d(x2, off2, wgt2, bias2, mask=mask2)
+        out2 = deform_conv2d_tile(
+            x2, flow2, off2, wgt2, bias2, mask=mask2,
+            tile=(2, 4), patch=(16, 32), ntb=8, interpret=True,
+            int8_dots=True)
+        err2 = jnp.mean(jnp.abs(ref2 - out2)) / jnp.mean(jnp.abs(ref2))
+        assert float(err2) < 0.03, float(err2)
+
     def test_escape_fraction_flags_rough_flow(self):
         import jax
 

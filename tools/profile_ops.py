@@ -254,6 +254,42 @@ if sel("tile"):
                 print(f"{name:46s} FAILED {type(e).__name__}: {e}",
                       flush=True)
 
+if sel("b2grid"):
+    # VERDICT r4 #8: before retiring batching, re-test it at the KERNEL
+    # GRID level — b=2 doubles n_tiles through ONE pallas launch (grid
+    # spans both windows' tiles), sharing whatever per-launch/per-grid
+    # fixed costs exist. Keep if b=2 ≤ 1.3× the b=1 call; else the r4
+    # "amortization dead" verdict stands at kernel granularity too.
+    from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+
+    for (h, cin, cout, M) in [(512, 128, 64, 5), (256, 256, 128, 5)]:
+        g, kk = 16, 9
+        pty = 16 if M <= 5 else 24
+        for b in (1, 2):
+            x = jax.random.normal(ks[0], (b, h, h, cin), jnp.bfloat16)
+            fl = jax.random.normal(ks[1], (b, h, h, 2), jnp.float32) * 8.0
+            fl = jax.image.resize(fl[:, ::8, ::8], fl.shape, "linear")
+            flow_y = jnp.stack([fl[..., 1], -fl[..., 1]], -1)
+            flow_x = jnp.stack([fl[..., 0], -fl[..., 0]], -1)
+            res_y = jax.random.normal(ks[2], (b, h, h, g * kk), jnp.bfloat16)
+            res_x = jax.random.normal(ks[3], (b, h, h, g * kk), jnp.bfloat16)
+            mlg = jax.random.normal(ks[4], (b, h, h, g * kk), jnp.bfloat16)
+            wgt = jax.random.normal(ks[5], (3, 3, cin, cout),
+                                    jnp.bfloat16) * 0.05
+            ntb = 8 if cin == 256 else 16
+            name = f"raw b{b} {h}^2 cin{cin} M{M} (2,4)/ntb{ntb}"
+            try:
+                timeit(name,
+                       lambda fy, fx, ry, rx, ml:
+                       deform_conv2d_tile(
+                           x, (fy, fx), None, wgt, None,
+                           raw=(ry, rx, ml, fy, fx), raw_mrm=float(M),
+                           tile=(2, 4), patch=(pty, 32), ntb=ntb),
+                       flow_y, flow_x, res_y, res_x, mlg)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:58s} FAILED {type(e).__name__}: "
+                      f"{str(e)[:100]}", flush=True)
+
 if sel("rawsweep"):
     # raw-prep serving-path sweep (post lever-#2/#3: the kernel consumes
     # PRE-ACTIVATION logits + flow planes — the cost structure the old
@@ -278,23 +314,35 @@ if sel("rawsweep"):
                                 jnp.bfloat16) * 0.05
         pty = 16 if M <= 5 else 24
         xpack = 128 // (cin // 2)
-        cfgs = [((2, 4), (pty, 32), 8), ((2, 4), (pty, 32), 16),
-                ((2, 4), (pty, 32), 4),
-                ((4, 4), (pty + 4, 32), 8), ((4, 4), (pty + 4, 32), 4),
-                ((4, 8), (pty + 4, 32), 4), ((2, 8), (pty, 32), 8)]
-        for tile, patch, ntb in cfgs:
+        # lane variants (VERDICT r4 #1): the r3 "lane loses to MXU
+        # min-width" verdict predates the raw-prep rewrite — re-probe
+        # lane on/off at both M classes under the raw operand layouts
+        cfgs = [((2, 4), (pty, 32), 8, False), ((2, 4), (pty, 32), 8, True),
+                ((2, 4), (pty, 32), 16, False),
+                ((2, 4), (pty, 32), 16, True),
+                ((2, 4), (pty, 32), 4, False),
+                ((4, 4), (pty + 4, 32), 8, False),
+                ((4, 4), (pty + 4, 32), 8, True),
+                ((4, 4), (pty + 4, 32), 4, False),
+                ((4, 8), (pty + 4, 32), 4, False),
+                ((2, 8), (pty, 32), 8, False), ((2, 8), (pty, 32), 8, True)]
+        for tile, patch, ntb, lane in cfgs:
+            if lane and xpack == 1:
+                continue  # lane_slice only exists for packed (ca=64) sites
             n_tiles = (h // tile[0]) * (h // tile[1])
             if n_tiles % ntb or patch[1] % (16 * xpack):
                 continue
             name = (f"raw {h}^2 cin{cin} M{M} t{tile[0]}x{tile[1]} "
-                    f"p{patch[0]}x{patch[1]} ntb{ntb}")
+                    f"p{patch[0]}x{patch[1]} ntb{ntb}"
+                    + (" lane" if lane else ""))
             try:
                 timeit(name,
-                       lambda fy, fx, ry, rx, ml, t=tile, p=patch, n=ntb:
+                       lambda fy, fx, ry, rx, ml, t=tile, p=patch, n=ntb,
+                              l=lane:
                        deform_conv2d_tile(
                            x, (fy, fx), None, wgt, None,
                            raw=(ry, rx, ml, fy, fx), raw_mrm=float(M),
-                           tile=t, patch=p, ntb=n),
+                           tile=t, patch=p, ntb=n, lane_slice=l),
                        flow_y, flow_x, res_y, res_x, mlg)
             except Exception as e:  # noqa: BLE001
                 print(f"{name:58s} FAILED {type(e).__name__}: "
