@@ -26,7 +26,11 @@ headline falls back to the face-off number and the unit SAYS so.
 - ``fps_ddpm100``       face-off step under the reference's 100-step DDPM
                         schedule (round-1/2 continuity metric)
 - ``per_step_ms_blur``  BlurUNet (gaussian) + pseudoSR consistency step
-- ``value_blur``        gaussian-task frames/s (face prior off — noted)
+- ``value_blur``        gaussian-task frames/s, demo-equivalent face-ON
+                        blend (``value_blur_noface`` keeps the r3/r4
+                        face-off continuity number)
+- ``per_step_ms_jpeg``  jpeg-task step (adds the differentiable JPEG
+                        round-trip in the consistency op)
 - ``fps_batch{N}``      N independent windows restored concurrently
 
 Resilience (VERDICT r2 #1/#5): this machine's axon TPU tunnel dies for
@@ -313,9 +317,17 @@ def _bicubic_step(size, frames, use_face, batch=1):
     return make_step, flops_fn
 
 
-def _blur_step(size, frames):
-    """gaussian-task guided step (BlurUNet + pseudoSR), two-program form —
-    see _bicubic_step for why everything enters as arguments."""
+def _blur_step(size, frames, task="gaussian", use_face=False):
+    """gaussian/jpeg-task guided step (BlurUNet + pseudoSR), two-program
+    form — see _bicubic_step for why everything enters as arguments.
+
+    ``task='jpeg'`` swaps in the JPEG operator + its guidance hypers
+    (pseudoSR.py:266-281 adds a differentiable JPEG round-trip the
+    gaussian consistency step does not pay — VERDICT r4 #3 demands it be
+    timed, not assumed equal). ``use_face=True`` adds the CodeFormer +
+    ParseNet face-prior program to the step, exactly as the reference
+    demo applies it to the gaussian/jpeg tasks too
+    (scripts/demo.bash:4-5, video_sample.py:446-479)."""
     import jax
     import jax.numpy as jnp
 
@@ -324,9 +336,9 @@ def _blur_step(size, frames):
     )
     from flair_tpu.models.adm import BlurUNet
     from flair_tpu.operators.factory import get_operator, make_restore_fn_p
+    from flair_tpu.pipeline.video import TASK_CONFIGS
     from flair_tpu.pipeline.wrappers import wrap_blur_model
 
-    scale = size / 512
     model = BlurUNet(
         image_size=size,
         model_channels=128,
@@ -338,9 +350,10 @@ def _blur_step(size, frames):
         dtype=jnp.bfloat16,
         **_dcn_kwargs(),
     )
-    d = make_task_diffusion("gaussian", "100")
-    cfg = GuidanceConfig(use_aux=False, rho=0.25, w=0.75, zeta=1.0,
-                         noise_level=2.55)
+    tc = TASK_CONFIGS[task]
+    d = make_task_diffusion(task, "100")
+    cfg = GuidanceConfig(use_aux=use_face, rho=tc.rho, w=tc.w,
+                         zeta=tc.zeta, noise_level=tc.noise_level)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, frames, size, size, 3), jnp.float32) * 2 - 1
     low = x
@@ -350,28 +363,64 @@ def _blur_step(size, frames):
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"# blur params: {n_params/1e6:.1f}M", file=sys.stderr)
 
-    op = get_operator("gaussian", size)
+    op = get_operator(task, size)
     lr = op.A(x.reshape(frames, size, size, 3))
-    restore_p = make_restore_fn_p("gaussian", op)
+    restore_p = make_restore_fn_p(task, op, jpeg_qf=tc.jpeg_qf)
 
     def restore_fn_p(x0, degraded):
         flat = x0.reshape((x0.shape[0] * x0.shape[1],) + x0.shape[2:])
         return restore_p(flat, degraded).reshape(x0.shape)
 
+    face_fn_param = None
+    face_args = None
+    if use_face:
+        import numpy as np
+
+        from flair_tpu.face.helper import make_face_fn_p
+        from flair_tpu.models.codeformer import CodeFormer
+        from flair_tpu.models.parsenet import ParseNet
+
+        cf = CodeFormer(
+            latent_size=(size // 32) ** 2,
+            connect_list=tuple(
+                str(r) for r in (32, 64, 128, 256) if r <= size // 2
+            ),
+            dtype=jnp.bfloat16,
+        )
+        pn = ParseNet(dtype=jnp.bfloat16)
+        face = jnp.zeros((frames, size, size, 3), jnp.float32)
+        cf_params = _rand_params(jax.eval_shape(
+            lambda k, f: cf.init(k, f, w=1.0, adain=True), key, face))
+        pn_params = _rand_params(jax.eval_shape(pn.init, key, face))
+        mats = jnp.asarray(np.tile(
+            np.asarray([[1.1, 0.08, 12.0], [-0.08, 1.1, -9.0]], np.float32),
+            (frames, 1, 1)))
+
+        def face_fn_param(x0, xt, mats_dev, cfp, pnp):
+            fn_p = make_face_fn_p(
+                lambda f: cf.apply(cfp, f, w=1.0, adain=True)[0],
+                lambda f: pn.apply(pnp, f)[0],
+                face_size=size,
+            )
+            return fn_p(x0, xt, mats_dev)
+
+        face_args = (mats, cf_params, pn_params)
+
     apply = wrap_blur_model(d, model, params)
     flows = jax.jit(apply.flows_fn)(low)
     jit_apply = jax.jit(apply.apply_p)
-    update = jax.jit(make_guided_update(d, cfg, restore_fn=restore_fn_p))
+    update = jax.jit(make_guided_update(
+        d, cfg, restore_fn=restore_fn_p, face_fn=face_fn_param))
     readout = jax.jit(lambda s: s.astype(jnp.float32).mean())
 
-    def step(params, xx, cond, lr_obs, t, key, flows):
+    def step(params, xx, cond, lr_obs, t, key, flows, face_args):
         model_out = jit_apply(params, xx, t, cond, cond, None, flows)
         sample, _ = update(xx, model_out, t, key, None, None,
-                           (lr_obs,), None)
+                           (lr_obs,), face_args)
         return readout(sample)
 
     args = (params, x, low, lr, jnp.asarray(50, jnp.int32),
-            jax.random.PRNGKey(1), flows)
+            jax.random.PRNGKey(1), flows, face_args)
 
     def flops_fn():
         c = jit_apply.lower(params, x, jnp.asarray(50, jnp.int32), low, low,
@@ -548,17 +597,71 @@ def _child_measure(size, frames, iters, overhead) -> int:
                   file=sys.stderr)
             tblur = _time_step(f3, a3, max(2, iters // 2), overhead)
             extras["per_step_ms_blur"] = round(tblur * 1e3, 2)
-            # gaussian-task serving fps (VERDICT r3 #5); face prior OFF —
-            # the face program cost is UNet-independent, see value_face
-            extras["value_blur"] = round(
+            extras["value_blur_noface"] = round(
                 frames / (tblur * SERVING_STEPS), 4)
             f3 = a3 = None
             _gc()
         except Exception as e:  # noqa: BLE001
             if _is_backend_err(e):
                 raise
+            tblur = None
             extras["per_step_ms_blur"] = None
             print(f"# blur step failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        # demo-equivalent gaussian number: the reference blur demo ALSO
+        # applies the face prior in-window (scripts/demo.bash:4,
+        # video_sample.py:446-479) — blend it like the bicubic headline
+        # (VERDICT r4 #3: value_blur was face-off while the headline is
+        # face-on)
+        try:
+            if tblur is not None and not os.environ.get("BENCH_SKIP_FACE"):
+                f4, a4, _ = _blur_step(size, frames, use_face=True)
+                t0 = time.time()
+                float(f4(*a4))
+                print(f"# blur+face compile+warmup: {time.time()-t0:.1f}s",
+                      file=sys.stderr)
+                tbf = _time_step(f4, a4, max(2, iters // 2), overhead)
+                extras["per_step_ms_blur_face"] = round(tbf * 1e3, 2)
+                from flair_tpu.pipeline.video import TASK_CONFIGS, scale_tau
+
+                tau_b = scale_tau(TASK_CONFIGS["gaussian"].tau,
+                                  SERVING_STEPS)
+                nf = (SERVING_STEPS - 1) - tau_b + 1
+                blended_b = (nf * tbf + (SERVING_STEPS - nf) * tblur) \
+                    / SERVING_STEPS
+                extras["value_blur"] = round(
+                    frames / (blended_b * SERVING_STEPS), 4)
+                f4 = a4 = None
+                _gc()
+            elif tblur is not None:
+                extras["value_blur"] = extras["value_blur_noface"]
+        except Exception as e:  # noqa: BLE001
+            if _is_backend_err(e):
+                raise
+            extras["per_step_ms_blur_face"] = None
+            extras["value_blur"] = extras.get("value_blur_noface")
+            print(f"# blur+face step failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        # jpeg-task step: same UNet, but the consistency op pays a
+        # differentiable JPEG round-trip the gaussian number hides
+        # (pseudoSR.py:266-281; VERDICT r4 #3)
+        try:
+            f5, a5, _ = _blur_step(size, frames, task="jpeg")
+            t0 = time.time()
+            float(f5(*a5))
+            print(f"# jpeg compile+warmup: {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            tjpeg = _time_step(f5, a5, 2, overhead)
+            extras["per_step_ms_jpeg"] = round(tjpeg * 1e3, 2)
+            extras["value_jpeg_noface"] = round(
+                frames / (tjpeg * SERVING_STEPS), 4)
+            f5 = a5 = None
+            _gc()
+        except Exception as e:  # noqa: BLE001
+            if _is_backend_err(e):
+                raise
+            extras["per_step_ms_jpeg"] = None
+            print(f"# jpeg step failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     nb = int(os.environ.get("BENCH_BATCH", "2"))

@@ -376,7 +376,8 @@ def run_reference_gaussian(ref, degraded01, *, w=G_W, rho=G_RHO,
 
 
 def run_ours_gaussian(variables, degraded01, *, task="gaussian", w=G_W,
-                      rho=G_RHO, noise_level=G_NL, jpeg_qf=-1):
+                      rho=G_RHO, noise_level=G_NL, jpeg_qf=-1,
+                      steps=str(G_STEPS), sampler="steps"):
     import dataclasses
 
     import jax
@@ -389,7 +390,7 @@ def run_ours_gaussian(variables, degraded01, *, task="gaussian", w=G_W,
 
     cfg = dataclasses.replace(
         TASK_CONFIGS[task], output_size=G_SIZE,
-        input_size=G_SIZE // G_FACTOR, steps=str(G_STEPS),
+        input_size=G_SIZE // G_FACTOR, steps=steps,
         w=w, rho=rho, zeta=G_ZETA, tau=G_TAU, noise_level=noise_level,
         jpeg_qf=jpeg_qf,
     )
@@ -415,10 +416,68 @@ def run_ours_gaussian(variables, degraded01, *, task="gaussian", w=G_W,
             guidance=GuidanceConfig(
                 use_aux=False, w=w, rho=rho, tau=G_TAU, zeta=G_ZETA,
                 noise_level=noise_level),
-            win=G_WIN, overlap=G_OV, pad_tail=False,
+            win=G_WIN, overlap=G_OV, pad_tail=False, sampler=sampler,
         )
     finally:
         jax.random.normal = normal_orig
+
+
+def make_respace_divergence_gaussian() -> dict:
+    """VERDICT r4 #7: the x8 divergence golden bounds DDIM-25 against
+    DDPM-100 for the x8 schedule family only (linspace 1e-6→1e-2, 2000
+    steps); the gaussian/jpeg demos ride the OTHER family (`face_blur`,
+    1000 steps — gaussian_diffusion.py:24-36) whose respacing behaves
+    differently. Same procedure from the archived gaussian_s64 weights:
+    archive the DDPM-100 float output, record PSNR(DDIM-25, DDPM-100)."""
+    gold = os.path.join(ROOT, "goldens", "gaussian_s64")
+    if not os.path.exists(os.path.join(gold, "meta.json")):
+        raise SystemExit("gaussian_s64 goldens missing; run make_goldens "
+                         "--task=gaussian first")
+    from flair_tpu.utils.checkpoint import unflatten_params
+
+    meta_g = json.load(open(os.path.join(gold, "meta.json")))
+    degraded01 = np.load(os.path.join(gold, "degraded01.npy"))
+    variables = unflatten_params(
+        dict(np.load(os.path.join(gold, "params.npz"))))
+    out_dir = os.path.join(ROOT, "goldens", "respace_gaussian_s64")
+
+    print("# running gaussian DDPM-100 (reference serving schedule)...",
+          file=sys.stderr)
+    ddpm100 = run_ours_gaussian(
+        variables, degraded01, w=meta_g["w"], rho=meta_g["rho"],
+        noise_level=meta_g["noise_level"], steps="100", sampler="steps")
+    print("# running gaussian guided DDIM-25 (bench headline schedule)...",
+          file=sys.stderr)
+    ddim25 = run_ours_gaussian(
+        variables, degraded01, w=meta_g["w"], rho=meta_g["rho"],
+        noise_level=meta_g["noise_level"], steps="ddim25", sampler="ddim")
+
+    from metrics import psnr, ssim
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "ddpm100.npy"), ddpm100.astype(np.float32))
+    meta = {
+        "task": "gaussian",
+        "size": meta_g["size"], "factor": meta_g["factor"],
+        "frames": meta_g["frames"], "win": meta_g["win"],
+        "overlap": meta_g["overlap"],
+        "w": meta_g["w"], "rho": meta_g["rho"],
+        "zeta": meta_g["zeta"], "tau": meta_g["tau"],
+        "noise_level": meta_g["noise_level"],
+        "weights": "goldens/gaussian_s64/params.npz (shared archive)",
+        "psnr_ddim25_vs_ddpm100": round(psnr(ddim25, ddpm100), 3),
+        "ssim_ddim25_vs_ddpm100": round(float(ssim(ddim25, ddpm100)), 5),
+        "procedure": ("VERDICT r4 #7: same archived weights/input, "
+                      "restore_video at steps='100' (ρ-rule on the "
+                      "face_blur/1000 schedule) vs steps='ddim25' "
+                      "sampler='ddim' η=0; PSNR between the two"),
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(json.dumps({k: meta[k] for k in (
+        "psnr_ddim25_vs_ddpm100", "ssim_ddim25_vs_ddpm100")}))
+    print(f"wrote {out_dir}", file=sys.stderr)
+    return meta
 
 
 def make_gaussian_golden(check: bool, *, jpeg: bool = False) -> dict:
@@ -502,9 +561,13 @@ def main() -> int:
     if task in ("jpeg", "all"):
         make_gaussian_golden(check, jpeg=True)
     if task == "respace":
-        # divergence golden reuses the archived x8_s64 weights — run AFTER
-        # (or without regenerating) the x8 golden
+        # divergence goldens reuse the archived x8_s64/gaussian_s64
+        # weights — run AFTER (or without regenerating) those goldens
         make_respace_divergence()
+        make_respace_divergence_gaussian()
+        return 0
+    if task == "respace_gaussian":
+        make_respace_divergence_gaussian()
         return 0
     if task not in ("x8", "x16", "all"):
         return 0
@@ -573,6 +636,7 @@ def main() -> int:
         print(f"wrote {out_dir}", file=sys.stderr)
     if task == "all":
         make_respace_divergence()
+        make_respace_divergence_gaussian()
     return 0
 
 
