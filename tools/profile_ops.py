@@ -290,6 +290,46 @@ if sel("b2grid"):
                 print(f"{name:58s} FAILED {type(e).__name__}: "
                       f"{str(e)[:100]}", flush=True)
 
+if sel("int8sweep"):
+    # round-5 keep-or-kill: the int8 window-dot path (FLAIR_DCN_INT8)
+    # against the shipped bf16 dots, at the default tile configs for all
+    # four production shape classes. probe_int8.py measured the bare dot
+    # at 2.27x (UVP=256) / 1.75x (UVP=384, 1.17x with in-kernel
+    # quantize); this measures the real kernel, where dot1 is one of
+    # several cost terms.
+    from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+
+    for (h, cin, cout, M) in [(512, 128, 64, 5), (512, 128, 64, 10),
+                              (256, 256, 128, 5), (256, 256, 128, 10)]:
+        b, g, kk = 1, 16, 9
+        x = jax.random.normal(ks[0], (b, h, h, cin), jnp.bfloat16)
+        fl = jax.random.normal(ks[1], (b, h, h, 2), jnp.float32) * 8.0
+        fl = jax.image.resize(fl[:, ::8, ::8], fl.shape, "linear")
+        flow_y = jnp.stack([fl[..., 1], -fl[..., 1]], -1)
+        flow_x = jnp.stack([fl[..., 0], -fl[..., 0]], -1)
+        res_y = jax.random.normal(ks[2], (b, h, h, g * kk), jnp.bfloat16)
+        res_x = jax.random.normal(ks[3], (b, h, h, g * kk), jnp.bfloat16)
+        mlg = jax.random.normal(ks[4], (b, h, h, g * kk), jnp.bfloat16)
+        wgt = jax.random.normal(ks[5], (3, 3, cin, cout),
+                                jnp.bfloat16) * 0.05
+        pty = 16 if M <= 5 else 24
+        ntb = 8 if (cin == 256 or pty > 16) else 16
+        for int8 in (False, True):
+            name = (f"raw {h}^2 cin{cin} M{M} ntb{ntb}"
+                    + (" int8" if int8 else " bf16"))
+            try:
+                timeit(name,
+                       lambda fy, fx, ry, rx, ml, i8=int8:
+                       deform_conv2d_tile(
+                           x, (fy, fx), None, wgt, None,
+                           raw=(ry, rx, ml, fy, fx), raw_mrm=float(M),
+                           tile=(2, 4), patch=(pty, 32), ntb=ntb,
+                           int8_dots=i8),
+                       flow_y, flow_x, res_y, res_x, mlg)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:58s} FAILED {type(e).__name__}: "
+                      f"{str(e)[:100]}", flush=True)
+
 if sel("rawsweep"):
     # raw-prep serving-path sweep (post lever-#2/#3: the kernel consumes
     # PRE-ACTIVATION logits + flow planes — the cost structure the old
