@@ -330,6 +330,44 @@ if sel("int8sweep"):
                 print(f"{name:58s} FAILED {type(e).__name__}: "
                       f"{str(e)[:100]}", flush=True)
 
+if sel("rawablate"):
+    # component split of the SHIPPED raw-path call at the default configs
+    # (the round-3 `ablate` numbers predate the raw-prep rewrite): where
+    # do the 46/60 ms go now — XLA prep, grid/dispatch, DMA, window
+    # build, or the parity dots?
+    from flair_tpu.ops.dcn_pallas import deform_conv2d_tile
+
+    for (h, cin, cout, M) in [(512, 128, 64, 5), (512, 128, 64, 10),
+                              (256, 256, 128, 5)]:
+        b, g, kk = 1, 16, 9
+        x = jax.random.normal(ks[0], (b, h, h, cin), jnp.bfloat16)
+        fl = jax.random.normal(ks[1], (b, h, h, 2), jnp.float32) * 8.0
+        fl = jax.image.resize(fl[:, ::8, ::8], fl.shape, "linear")
+        flow_y = jnp.stack([fl[..., 1], -fl[..., 1]], -1)
+        flow_x = jnp.stack([fl[..., 0], -fl[..., 0]], -1)
+        res_y = jax.random.normal(ks[2], (b, h, h, g * kk), jnp.bfloat16)
+        res_x = jax.random.normal(ks[3], (b, h, h, g * kk), jnp.bfloat16)
+        mlg = jax.random.normal(ks[4], (b, h, h, g * kk), jnp.bfloat16)
+        wgt = jax.random.normal(ks[5], (3, 3, cin, cout),
+                                jnp.bfloat16) * 0.05
+        pty = 16 if M <= 5 else 24
+        ntb = 8 if (cin == 256 or pty > 16) else 16
+        for ab in ("", "prep", "empty", "nodma", "nobuild", "onedot"):
+            name = (f"raw {h}^2 cin{cin} M{M} ntb{ntb} "
+                    f"ablate={ab or 'none'}")
+            try:
+                timeit(name,
+                       lambda fy, fx, ry, rx, ml, ab=ab:
+                       deform_conv2d_tile(
+                           x, (fy, fx), None, wgt, None,
+                           raw=(ry, rx, ml, fy, fx), raw_mrm=float(M),
+                           tile=(2, 4), patch=(pty, 32), ntb=ntb,
+                           ablate=ab),
+                       flow_y, flow_x, res_y, res_x, mlg)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:58s} FAILED {type(e).__name__}: "
+                      f"{str(e)[:100]}", flush=True)
+
 if sel("rawsweep"):
     # raw-prep serving-path sweep (post lever-#2/#3: the kernel consumes
     # PRE-ACTIVATION logits + flow planes — the cost structure the old
