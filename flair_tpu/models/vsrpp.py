@@ -66,7 +66,9 @@ def _tile_config(pty: int, ca: int = 64):
     with FLAIR_DCN_TILE="ty,tx,pty_pad,ptx,ntb[,lane]" to flip on a
     tools/profile_ops.py `tile`/`rawsweep` winner without code edits —
     ``pty_pad`` is ADDED to the M-derived patch height (so one env value
-    serves both the SR3 M=5/pty=16 and ADM M=10/pty=24 routings).
+    serves both the SR3 M=5/pty=16 and ADM M=10/pty=20 routings;
+    pty=20 at M=10 is the round-5 measured winner: -17% window-dot
+    MACs, escape 1.3e-3 at sigma=0.3 under the 2e-2 M10 budget).
     ``ca`` is the per-anchor channel width (cin // 2).
 
     ``int8_dots`` (FLAIR_DCN_INT8=0 to disable): run the window dots at
@@ -304,7 +306,7 @@ def apply_deform_align(
     #   ptx % (16·xpack) == 0 and (w + 2·ptx) % (8·xpack) == 0 (HBM
     #   sublane tiling of the padded packed operand; xpack = 128/ca),
     #   n_tiles = b·(h/ty)·(w/tx) divisible by ntb.
-    _pty0 = 16 if max_residue_magnitude <= 5 else 24
+    _pty0 = 16 if max_residue_magnitude <= 5 else 20
     (_ty, _tx), (_, _ptx), _ntb, _, _ = _tile_config(
         _pty0, x.shape[-1] // 2)
     if use_tile and x.shape[1] % _ty == 0 and x.shape[2] % _tx == 0 \
@@ -343,7 +345,7 @@ def apply_deform_align(
     # including deform_conv2d — in fp16, sr3.py:528-541); offsets/mask
     # stay f32 and the coords are kept f32 inside the kernel
     if use_tile:
-        pty = 16 if max_residue_magnitude <= 5 else 24
+        pty = 16 if max_residue_magnitude <= 5 else 20
         tile_t, patch_p, ntb_n, lane, int8 = _tile_config(
             pty, x.shape[-1] // 2)
         y = deform_conv2d_tile_raw_ad(

@@ -958,7 +958,11 @@ def test_dcn_tile_escape_quantified_for_both_unets():
         (b, h, w, a, 2))
     base = jnp.repeat(flow, g // a, axis=3)[:, :, :, :, None, :]
 
-    for M, patch, budget in ((5.0, (16, 32), 2e-3), (10.0, (24, 32), 2e-2)):
+    # (20, 32) is the shipped M=10 patch since round 5 (PERF.md: −17%
+    # window-dot MACs, measured under budget); (24, 32) kept as the
+    # conservative env-reachable fallback's bound
+    for M, patch, budget in ((5.0, (16, 32), 2e-3), (10.0, (20, 32), 2e-2),
+                             (10.0, (24, 32), 2e-2)):
         res = M * jnp.tanh(
             jax.random.normal(ks[1], (b, h, w, g, 9, 2)) * 0.3)
         off = base + res
